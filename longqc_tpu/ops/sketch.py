@@ -1,0 +1,262 @@
+"""(w,k)-minimizer sketch as a batched device kernel.
+
+Re-derivation of the reference sketch (minimap2-coverage/sketch.c:76-142)
+as pure per-position rules over the buffer-entry sequence, instead of the
+C rolling ring buffer. Validated exhaustively against a faithful
+emulation (tests/oracles/sketch_ref.py) including N-resets, hash ties,
+symmetric k-mers and short reads:
+
+Let S be the sequence of buffer entries (all positions except symmetric
+k-mers), x[s] the packed key hash<<8|span (+inf when ineligible), l[s]
+the non-symmetric valid run counter, and wmin[s] the *rightmost* minimal
+entry of the w-window ending at s. A position p is emitted once per:
+
+  A) reign push: p is emitted iff p == wmin_idx[s] for some s (its
+     "reign" as the tracked minimum), with e = last such s, and
+       - e == n-1                                  (final push), or
+       - x[e+1] <= x[p]  and l[e+1] >= w+k         (replace push), or
+       - x[e+1] >  x[p]  and l[e+1] >= w+k-1       (displacement push)
+  B) first-window tie: some t0 in [p+1, p+w-1] has l[t0] == w+k-1,
+     x[p] == wmin_x[t0-1], and wmin_idx[t0-1] != p
+  C) rescan tie: some s in [p+1, p+w-1] is a displacement step
+     (wmin_idx[s-1] == s-w and x[s] > wmin_x[s-1]) with l[s] >= w+k-1,
+     x[p] == wmin_x[s], and wmin_idx[s] != p
+
+Multiplicity is preserved (B and C may each fire for several windows).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+UINT64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def hash64(key, mask):
+    """Invertible minimizer hash (cf. sketch.c:27-37), uint64 lanes."""
+    key = (~key + (key << np.uint64(21))) & mask
+    key = key ^ (key >> np.uint64(24))
+    key = ((key + (key << np.uint64(3))) + (key << np.uint64(8))) & mask
+    key = key ^ (key >> np.uint64(14))
+    key = ((key + (key << np.uint64(2))) + (key << np.uint64(4))) & mask
+    key = key ^ (key >> np.uint64(28))
+    key = (key + (key << np.uint64(31))) & mask
+    return key
+
+
+def _sliding_rightmost_min(x, w):
+    """For each s: (value, index) of the rightmost minimum over the
+    window [s-w+1, s] (out-of-range treated as +inf).
+
+    x: (..., L) uint64. Returns (vals, idxs) of same shape.
+    Uses shift-and-combine doubling: O(log w) vector steps.
+    """
+    L = x.shape[-1]
+    idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), x.shape)
+    vals, idxs = x, idx
+    # combine semantics: prefer smaller value; on tie prefer larger index.
+    span = 1
+    while span < w:
+        step = min(span, w - span)
+        sv = jnp.roll(vals, step, axis=-1)
+        si = jnp.roll(idxs, step, axis=-1)
+        pos = jnp.arange(L, dtype=jnp.int32)
+        ok = (pos >= step)
+        sv = jnp.where(ok, sv, UINT64_MAX)
+        si = jnp.where(ok, si, -1)
+        # current (vals) is the right/tie-preferred side
+        take_shift = sv < vals
+        vals = jnp.where(take_shift, sv, vals)
+        idxs = jnp.where(take_shift, si, idxs)
+        span += step
+    return vals, idxs
+
+
+@functools.partial(jax.jit, static_argnames=("w", "k"))
+def sketch_batch(codes, lengths, *, w, k):
+    """Batched minimizer sketch over padded (B, L) code tiles.
+
+    Returns dict with (B, L) arrays aligned to buffer-entry positions:
+      emit:   per-entry emission count (0 => not a minimizer)
+      hash:   uint64 packed key  hash64(kmer)<<8 | k
+      pos:    int32 read position of the k-mer's last base
+      strand: int32 0/1
+      n_entries: (B,) number of buffer entries (S length) per read
+    Callers compact by emit>0 (replicating count>1, which is rare).
+    """
+    assert 0 < w < 256 and 0 < k <= 28
+    B, L = codes.shape
+    mask = jnp.uint64((1 << (2 * k)) - 1)
+    c = codes.astype(jnp.uint64)
+    valid = codes < 4
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_read = pos < lengths[:, None]
+    valid = valid & in_read
+
+    # --- k-mers roll over the valid-base subsequence (C registers skip
+    # ambiguous bases and are never cleared): compact valid bases.
+    vcount = jnp.cumsum(valid, axis=1)          # 1-based rank among valid
+    # scatter codes into compacted array
+    vidx = jnp.where(valid, vcount - 1, L)      # target slot (L = dropped)
+    cval = jnp.where(valid, c, 0)
+    cv = jnp.zeros((B, L + 1), jnp.uint64)
+    cv = jax.vmap(lambda a, i, v: a.at[i].set(v))(cv, vidx, cval)
+    cv = cv[:, :L]
+    n_valid = vcount[:, -1]
+
+    # forward/reverse k-mer registers at each valid-space position
+    kf = jnp.zeros((B, L), jnp.uint64)
+    kr = jnp.zeros((B, L), jnp.uint64)
+    shift1 = np.uint64(2 * (k - 1))
+    vpos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    for j in range(k):
+        # base entering j steps before current: fwd contributes at
+        # bit 2j from the bottom... (C: kmer[0] = kmer[0]<<2 | c, so the
+        # newest base (age 0) sits in the low bits)
+        sh = jnp.pad(cv, ((0, 0), (j, 0)))[:, :L]
+        present = vpos >= j  # before the first k bases the register is 0
+        kf = kf | jnp.where(present, sh << jnp.uint64(2 * j), 0)
+        kr = kr | jnp.where(present,
+                            ((jnp.uint64(3) ^ sh) & jnp.uint64(3))
+                            << (shift1 - jnp.uint64(2 * j)), 0)
+    kf = kf & mask
+    kr = kr & mask
+    vspace = jnp.arange(L, dtype=jnp.int32)[None, :] < n_valid[:, None]
+    sym = (kf == kr) & vspace
+    strand_v = jnp.where(kf < kr, 0, 1).astype(jnp.int32)
+    kmin = jnp.where(kf < kr, kf, kr)
+    hash_v = (hash64(kmin, mask) << jnp.uint64(8)) | jnp.uint64(k)
+
+    # --- map back to read space; build the S (buffer-entry) sequence:
+    # every read position except symmetric-k-mer positions.
+    # valid-space entry t lives at read position rpos_v[t].
+    rpos = jnp.broadcast_to(pos, (B, L))
+    rpos_v = jnp.full((B, L + 1), L, jnp.int32)
+    rpos_v = jax.vmap(lambda a, i, v: a.at[i].set(v))(
+        rpos_v, vidx, jnp.broadcast_to(pos, (B, L)))
+    rpos_v = rpos_v[:, :L]
+
+    # read-space symmetric mask (scatter sym back)
+    sym_r = jnp.zeros((B, L + 1), bool)
+    sym_r = jax.vmap(lambda a, i, v: a.at[i].set(v))(
+        sym_r, jnp.where(vspace, rpos_v, L), sym)
+    sym_r = sym_r[:, :L]
+    # read-space per-position hash/strand (only meaningful where valid)
+    hash_r = jnp.full((B, L + 1), UINT64_MAX, jnp.uint64)
+    hash_r = jax.vmap(lambda a, i, v: a.at[i].set(v))(
+        hash_r, jnp.where(vspace, rpos_v, L), hash_v)
+    hash_r = hash_r[:, :L]
+    strand_r = jnp.zeros((B, L + 1), jnp.int32)
+    strand_r = jax.vmap(lambda a, i, v: a.at[i].set(v))(
+        strand_r, jnp.where(vspace, rpos_v, L), strand_v)
+    strand_r = strand_r[:, :L]
+
+    is_S = in_read & ~sym_r
+    # l counter: +1 at valid non-symmetric, reset to 0 at ambiguous.
+    # compute in read space: reset points are ambiguous positions.
+    inc = (valid & ~sym_r).astype(jnp.int32)
+    ambig = in_read & ~valid
+    # l[i] = number of inc since last ambig (inclusive scan)
+    cum_inc = jnp.cumsum(inc, axis=1)
+    # last ambiguous position index at or before i (segmented reset)
+    amb_cum = jnp.where(ambig, cum_inc, 0)
+    run_base = jax.lax.associative_scan(jnp.maximum, amb_cum, axis=1)
+    l_r = cum_inc - run_base
+
+    # --- compact S-space arrays
+    s_rank = jnp.cumsum(is_S, axis=1)
+    sidx = jnp.where(is_S, s_rank - 1, L)
+    n_S = s_rank[:, -1]
+
+    def compact(arr, fill):
+        out = jnp.full((B, L + 1), fill, arr.dtype)
+        out = jax.vmap(lambda a, i, v: a.at[i].set(v))(out, sidx, arr)
+        return out[:, :L]
+
+    eligible = valid & (l_r >= k)
+    xs = compact(jnp.where(eligible, hash_r, UINT64_MAX), UINT64_MAX)
+    ys_pos = compact(jnp.where(valid, rpos, 0), 0)
+    ys_strand = compact(strand_r, 0)
+    ls = compact(l_r, 0)
+    sspace = jnp.arange(L, dtype=jnp.int32)[None, :] < n_S[:, None]
+    xs = jnp.where(sspace, xs, UINT64_MAX)
+
+    # --- rightmost sliding minima
+    wx, widx = _sliding_rightmost_min(xs, w)
+
+    # --- rule A: reigns and pushes
+    sarange = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid_tracked = (wx != UINT64_MAX) & sspace
+    scatter_src = jnp.where(valid_tracked, sarange, -1)
+    scatter_tgt = jnp.where(valid_tracked, widx, L)
+    reign_end = jax.vmap(lambda a, i, v: a.at[i].max(v, mode="drop"))(
+        jnp.full((B, L), -1, jnp.int32), scatter_tgt, scatter_src)
+
+    has_reign = reign_end >= 0
+    e = reign_end
+    n_s = n_S[:, None]
+    e_next = jnp.clip(e + 1, 0, L - 1)
+    x_next = jnp.take_along_axis(xs, e_next, axis=1)
+    l_next = jnp.take_along_axis(ls, e_next, axis=1)
+    final_push = has_reign & (e == n_s - 1)
+    replace_push = has_reign & (e < n_s - 1) & (x_next <= xs) & (l_next >= w + k)
+    disp_push = has_reign & (e < n_s - 1) & (x_next > xs) & (l_next >= w + k - 1)
+    emitA = (final_push | replace_push | disp_push) & (xs != UINT64_MAX)
+
+    # --- rules B and C per offset d in [1, w-1]
+    countB = jnp.zeros((B, L), jnp.int32)
+    countC = jnp.zeros((B, L), jnp.int32)
+    # displacement step flags per s
+    wx_prev = jnp.pad(wx, ((0, 0), (1, 0)),
+                      constant_values=UINT64_MAX)[:, :L]
+    widx_prev = jnp.pad(widx, ((0, 0), (1, 0)), constant_values=-1)[:, :L]
+    disp_step = ((widx_prev == sarange - w) & (xs > wx_prev)
+                 & (wx_prev != UINT64_MAX) & sspace & (sarange >= 1))
+    is_t0 = (ls == w + k - 1) & sspace
+
+    for d in range(1, w):
+        # B: t0 = p + d
+        t0 = jnp.clip(sarange + d, 0, L - 1)
+        valid_off = (sarange + d) < n_s
+        t0m1 = jnp.clip(t0 - 1, 0, L - 1)
+        b_hit = (jnp.take_along_axis(is_t0, t0, axis=1)
+                 & (xs == jnp.take_along_axis(wx, t0m1, axis=1))
+                 & (jnp.take_along_axis(widx, t0m1, axis=1) != sarange)
+                 & (xs != UINT64_MAX) & valid_off)
+        countB = countB + b_hit.astype(jnp.int32)
+        # C: s = p + d
+        s_ = t0
+        c_hit = (jnp.take_along_axis(disp_step, s_, axis=1)
+                 & (jnp.take_along_axis(ls, s_, axis=1) >= w + k - 1)
+                 & (xs == jnp.take_along_axis(wx, s_, axis=1))
+                 & (jnp.take_along_axis(widx, s_, axis=1) != sarange)
+                 & (xs != UINT64_MAX) & valid_off)
+        countC = countC + c_hit.astype(jnp.int32)
+
+    emit = emitA.astype(jnp.int32) + countB + countC
+    return {
+        "emit": emit,
+        "hash": xs,
+        "pos": ys_pos,
+        "strand": ys_strand,
+        "n_entries": n_S,
+    }
+
+
+def sketch_to_lists(res):
+    """Host-side compaction of sketch_batch output into per-read
+    (hash, pos, strand) numpy arrays in position order with multiplicity."""
+    emit = np.asarray(res["emit"])
+    hsh = np.asarray(res["hash"])
+    pos = np.asarray(res["pos"])
+    strand = np.asarray(res["strand"])
+    out = []
+    for b in range(emit.shape[0]):
+        idx = np.nonzero(emit[b] > 0)[0]
+        rep = np.repeat(idx, emit[b][idx])
+        out.append((hsh[b][rep] >> np.uint64(8),
+                    pos[b][rep].astype(np.int64),
+                    strand[b][rep].astype(np.int64)))
+    return out

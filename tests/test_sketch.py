@@ -1,0 +1,58 @@
+"""Differential tests: ops/sketch.py vs the faithful sketch oracle."""
+
+import random
+
+import numpy as np
+import pytest
+
+from longqc_tpu.io.pack import pack_reads
+from longqc_tpu.ops.sketch import sketch_batch, sketch_to_lists
+from oracles.sketch_ref import sketch as ref_sketch
+
+
+def _run_case(seqs, w, k):
+    reads = [["r%d" % i, s, "I" * len(s)] for i, s in enumerate(seqs)]
+    batch = pack_reads(reads)
+    res = sketch_batch(np.asarray(batch.codes), np.asarray(batch.lengths),
+                       w=w, k=k)
+    got = sketch_to_lists(res)
+    for i, s in enumerate(seqs):
+        ref = ref_sketch(s, w, k)
+        # compare as position-sorted multisets of (hash, pos, strand)
+        ref_items = sorted(((x >> 8, (y >> 1) & 0x7FFFFFFF, y & 1)
+                            for x, y in ref), key=lambda t: (t[1], t[0]))
+        h, p, z = got[i]
+        got_items = sorted(zip(h.tolist(), p.tolist(), z.tolist()),
+                           key=lambda t: (t[1], t[0]))
+        assert got_items == ref_items, (
+            "read %d mismatch (w=%d k=%d len=%d): got %d ref %d"
+            % (i, w, k, len(s), len(got_items), len(ref_items)))
+
+
+@pytest.mark.parametrize("w,k", [(5, 12), (5, 15)])
+def test_sketch_random(w, k):
+    random.seed(42)
+    seqs = ["".join(random.choice("ACGT") for _ in range(random.randint(60, 300)))
+            for _ in range(20)]
+    _run_case(seqs, w, k)
+
+
+@pytest.mark.parametrize("w,k", [(5, 12)])
+def test_sketch_with_ns(w, k):
+    random.seed(43)
+    seqs = ["".join(random.choice("ACGTN") for _ in range(random.randint(40, 250)))
+            for _ in range(20)]
+    _run_case(seqs, w, k)
+
+
+def test_sketch_low_complexity():
+    random.seed(44)
+    seqs = []
+    for alpha in ["A", "AT", "AC", "ACG", "ACGTACGTA"]:
+        seqs.append("".join(random.choice(alpha) for _ in range(200)))
+    _run_case(seqs, 5, 12)
+
+
+def test_sketch_short_reads():
+    seqs = ["ACGTACGTACGT", "ACGT" * 3, "A" * 20, "ACGTN" * 4]
+    _run_case(seqs, 5, 5)
