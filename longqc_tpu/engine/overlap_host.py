@@ -1,0 +1,584 @@
+"""Host (numpy) reference implementation of the overlap-coverage engine.
+
+This module is the executable *spec* of the engine: it reproduces the
+reference minimap2-coverage semantics exactly and is validated against
+the C binary in tests. The TPU path (engine/overlap.py) must match it
+bit-for-bit; the host path also serves as a fallback.
+
+Pipeline per index part (cf. SURVEY.md §3.1-§3.2):
+  target sketch -> sorted-array index (+ occurrence threshold)
+  per query: sketch -> seed lookup -> anchors -> chain DP -> chains
+           -> coverage accounting (lambda/lambda2, tagged intervals,
+              per-minimizer match counts)
+  across parts: accumulate; finally reliable-region sweep + 9-col rows.
+
+Behavioral citations:
+  index/occurrence threshold  index.c:69-144
+  seed collection             lqmap.c:140-205
+  chain DP + backtrack        chain.c:22-157
+  coverage accounting         esterr.c:72-140
+  interval compression        lqmap.c:25-100
+  reliable-region sweep       lqutils.c:83-155
+  output rows                 minimap2-coverage.c:545-617
+"""
+
+import math
+
+import numpy as np
+
+from longqc_tpu.config import OverlapConfig
+from longqc_tpu.io.pack import pack_reads
+from longqc_tpu.ops.quality import mean_q_host
+from longqc_tpu.ops.sketch import sketch_batch, sketch_to_lists
+
+UINT16_MAX = 0xFFFF
+
+
+# ---------------------------------------------------------------------------
+# index
+
+
+class MinimizerIndex:
+    """Sorted-array minimizer index over one part of target reads.
+
+    Replaces the reference's bucketed khash (index.c:24-29) with sorted
+    (hash, rid, pos<<1|strand) arrays + binary search: the idiomatic
+    array-machine equivalent, also directly usable as a device gather.
+    Per-key occurrence order matches khash insertion order (rid asc,
+    pos asc) by construction.
+    """
+
+    def __init__(self, hashes, rids, posstrand, seq_lens, names):
+        order = np.lexsort((posstrand, rids, hashes))
+        self.h = hashes[order]
+        self.rid = rids[order]
+        self.ps = posstrand[order]
+        self.seq_lens = seq_lens
+        self.names = names
+        # unique keys + spans for occurrence counting / lookup
+        self.uniq, self.starts = np.unique(self.h, return_index=True)
+        self.counts = np.diff(np.append(self.starts, len(self.h)))
+
+    def mid_occ(self, frac):
+        """Occurrence threshold: (1-frac) quantile of per-key counts + 1
+        (cf. mm_idx_cal_max_occ, index.c:123-144)."""
+        if frac <= 0.0:
+            return np.iinfo(np.int32).max
+        n = len(self.counts)
+        if n == 0:
+            return 1
+        kth = int((1.0 - frac) * n)
+        kth = min(kth, n - 1)
+        return int(np.partition(self.counts, kth)[kth]) + 1
+
+    def lookup(self, h):
+        """-> (start, count) into the sorted arrays for hash h."""
+        i = np.searchsorted(self.uniq, h)
+        if i < len(self.uniq) and self.uniq[i] == h:
+            return int(self.starts[i]), int(self.counts[i])
+        return 0, 0
+
+
+def _len_bucket(n):
+    """Round up to a power of two (min 256) to bound jit recompiles."""
+    b = 256
+    while b < n:
+        b *= 2
+    return b
+
+
+def sketch_reads_device(reads, k, w, batch_size=128):
+    """Sketch a list of [name, seq, qual] with the device kernel,
+    returning per-read (hash, pos, strand) arrays in input order.
+
+    Reads are bucketed by padded length (powers of two) and batched at a
+    fixed size so only a handful of shapes ever compile.
+    """
+    buckets = {}
+    for i, r in enumerate(reads):
+        buckets.setdefault(_len_bucket(len(r[1])), []).append(i)
+    out = [None] * len(reads)
+    for blen, idxs in sorted(buckets.items()):
+        for off in range(0, len(idxs), batch_size):
+            sel = idxs[off:off + batch_size]
+            chunk = [reads[i] for i in sel]
+            while len(chunk) < min(batch_size, 8):
+                chunk.append(["_pad", "A" * k, "!" * k])  # dummy rows
+            batch = pack_reads(chunk, max_len=blen, pad_to=blen,
+                               with_quals=False)
+            res = sketch_batch(np.asarray(batch.codes),
+                               np.asarray(batch.lengths), w=w, k=k)
+            lists = sketch_to_lists(res)
+            for slot, i in enumerate(sel):
+                out[i] = lists[slot]
+    return out
+
+
+def build_index(target_reads, k, w, is_hpc=False, sketches=None):
+    if is_hpc:
+        from longqc_tpu.ops.sketch_hpc import sketch_reads_hpc
+        sketches = sketches or sketch_reads_hpc(target_reads, k, w)
+    else:
+        sketches = sketches or sketch_reads_device(target_reads, k, w)
+    hs, rids, ps = [], [], []
+    for rid, (h, pos, strand, _span) in enumerate(sketches):
+        hs.append(h.astype(np.uint64))
+        rids.append(np.full(len(h), rid, np.int64))
+        ps.append((pos.astype(np.int64) << 1) | strand.astype(np.int64))
+    hashes = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
+    rids_a = np.concatenate(rids) if rids else np.zeros(0, np.int64)
+    ps_a = np.concatenate(ps) if ps else np.zeros(0, np.int64)
+    seq_lens = np.array([len(r[1]) for r in target_reads], np.int64)
+    names = [r[0] for r in target_reads]
+    return MinimizerIndex(hashes, rids_a, ps_a, seq_lens, names)
+
+
+# ---------------------------------------------------------------------------
+# anchors
+
+
+def collect_seed_hits(index, qname, qlen, q_sketch, max_occ, no_self=True,
+                      ava=False):
+    """-> (anchors_x, anchors_y, mini_pos) per lqmap.c:140-205.
+
+    anchors x = rev<<63 | rid<<32 | rpos ; y = span<<32 | q_for_pos
+    mini_pos = span<<32 | qpos for minimizers below max_occ, in sketch
+    (position) order.
+    """
+    h_arr, pos_arr, strand_arr, span_arr = q_sketch
+    ax, ay, mini_pos = [], [], []
+    for t in range(len(h_arr)):
+        h = np.uint64(h_arr[t])
+        qpos = int(pos_arr[t])
+        qstrand = int(strand_arr[t])
+        span = int(span_arr[t])
+        start, n = index.lookup(h)
+        if n >= max_occ:
+            continue
+        mini_pos.append((span << 32) | qpos)
+        for j in range(start, start + n):
+            rid = int(index.rid[j])
+            rps = int(index.ps[j])
+            rpos = rps >> 1
+            rstrand = rps & 1
+            if no_self or ava:
+                tname = index.names[rid]
+                if no_self and qname == tname and rpos == qpos:
+                    continue
+                if ava and qname > tname:
+                    continue
+            if rstrand == qstrand:  # forward
+                x = (rid << 32) | rpos
+                y = (span << 32) | qpos
+            else:
+                x = (1 << 63) | (rid << 32) | rpos
+                y = (span << 32) | (qlen - (qpos + 1 - span) - 1)
+            ax.append(x)
+            ay.append(y)
+    ax = np.array(ax, np.uint64)
+    ay = np.array(ay, np.uint64)
+    order = np.argsort(ax, kind="stable")
+    return ax[order], ay[order], np.array(mini_pos, np.int64)
+
+
+# ---------------------------------------------------------------------------
+# chain DP (exact, incl. max_skip pruning) — chain.c:22-157
+
+
+def chain_dp(ax, ay, max_dist, bw, max_skip, min_cnt, min_sc):
+    """-> list of chains [(score, anchor_index_array)], anchors in
+    query-ascending order within each chain; backtrack ownership follows
+    the reference's (score desc, end-index desc) greedy order."""
+    n = len(ax)
+    if n == 0:
+        return []
+    # avg_qspan over all anchors (float32 in C is float; C uses float avg_qspan)
+    spans = ((ay >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+    avg_qspan = np.float32(spans.sum() / n)
+
+    f = np.zeros(n, np.int32)
+    p = np.full(n, -1, np.int64)
+    t = np.zeros(n, np.int64)
+    v = np.zeros(n, np.int32)
+    xi = ax.astype(np.uint64)
+    yq = (ay & np.uint64(0xFFFFFFFF)).astype(np.int64)
+
+    st = 0
+    for i in range(n):
+        ri = int(xi[i])
+        qi = int(yq[i])
+        q_span = int(spans[i])
+        max_f = q_span
+        max_j = -1
+        n_skip = 0
+        while st < i and int(ri - xi[st]) > max_dist:
+            st += 1
+        j = i - 1
+        while j >= st:
+            dr = ri - int(xi[j])
+            dq = int(qi - yq[j])
+            if dr == 0 or dq <= 0 or dq > max_dist:
+                j -= 1
+                continue
+            dd = dr - dq if dr > dq else dq - dr
+            if dd > bw:
+                j -= 1
+                continue
+            min_d = dq if dq < dr else dr
+            sc = q_span if min_d > q_span else min_d
+            log_dd = dd.bit_length() - 1 if dd else 0
+            sc -= int(dd * 0.01 * avg_qspan) + (log_dd >> 1)
+            sc += f[j]
+            if sc > max_f:
+                max_f = sc
+                max_j = j
+                if n_skip > 0:
+                    n_skip -= 1
+            elif t[j] == i:
+                n_skip += 1
+                if n_skip > max_skip:
+                    break
+            if p[j] >= 0:
+                t[p[j]] = i
+            j -= 1
+        f[i] = max_f
+        p[i] = max_j
+        v[i] = v[max_j] if (max_j >= 0 and v[max_j] > max_f) else max_f
+
+    # chain end detection
+    t[:] = 0
+    for i in range(n):
+        if p[i] >= 0:
+            t[p[i]] = 1
+    ends = [i for i in range(n) if t[i] == 0 and v[i] >= min_sc]
+    if not ends:
+        return []
+    u = []
+    for i in ends:
+        j = i
+        while j >= 0 and f[j] < v[j]:
+            j = p[j]
+        if j < 0:
+            j = i
+        u.append((int(f[j]), j))
+    # radix_sort_64 ascending then reversed: descending by (score, end idx)
+    u.sort(key=lambda s: (s[0], s[1]), reverse=True)
+
+    # greedy backtrack with anchor ownership; NB: anchors visited by a
+    # rejected chain REMAIN marked (chain.c:109-124 keeps t[] set and
+    # only rewinds n_v), so they are unavailable to later chains.
+    t[:] = 0
+    chains = []
+    for score, end in u:
+        path = []
+        j = end
+        while j >= 0 and t[j] == 0:
+            path.append(j)
+            t[j] = 1
+            j = p[j]
+        if j < 0:
+            if len(path) >= min_cnt:
+                chains.append((score, np.array(path[::-1], np.int64)))
+        elif score - int(f[j]) >= min_sc:
+            if len(path) >= min_cnt:
+                chains.append((score - int(f[j]),
+                               np.array(path[::-1], np.int64)))
+    return chains
+
+
+# ---------------------------------------------------------------------------
+# regs (chain -> hit coordinates) — hit.c:23-38 mm_reg_set_coor
+
+
+def chain_to_reg(ax, ay, qlen, score, idx):
+    k0 = idx[0]
+    q_span = int((ay[k0] >> np.uint64(32)) & np.uint64(0xFF))
+    rev = int(ax[k0] >> np.uint64(63))
+    rid = int((ax[k0] << np.uint64(1)) >> np.uint64(33))
+    rs_last = int(ax[k0] & np.uint64(0xFFFFFFFF))
+    rs = rs_last + 1 - q_span if rs_last + 1 > q_span else 0
+    re = int(ax[idx[-1]] & np.uint64(0xFFFFFFFF)) + 1
+    y0 = int(ay[k0] & np.uint64(0xFFFFFFFF))
+    yl = int(ay[idx[-1]] & np.uint64(0xFFFFFFFF))
+    if not rev:
+        qs = y0 + 1 - q_span
+        qe = yl + 1
+    else:
+        qs = qlen - (yl + 1)
+        qe = qlen - (y0 + 1 - q_span)
+    return dict(rev=rev, rid=rid, rs=rs, re=re, qs=qs, qe=qe,
+                score0=score, idx=idx)
+
+
+# ---------------------------------------------------------------------------
+# per-read accumulator state
+
+
+class ReadState:
+    """Per-query accumulators (cf. minimap2-coverage.c:433-444)."""
+
+    def __init__(self, n_mini):
+        self.lam = 0          # lambda
+        self.lam2 = 0         # lambda2
+        self.avg_k = np.float32(0.0)
+        self.m_cnts = np.zeros(n_mini, np.uint16)
+        self.coords = []      # accumulated tagged intervals (uint32 pairs)
+
+
+def get_for_qpos(qlen, ax_v, ay_v):
+    x = int(ay_v & np.uint64(0xFFFFFFFF))
+    q_span = int((ay_v >> np.uint64(32)) & np.uint64(0xFF))
+    if int(ax_v >> np.uint64(63)):
+        x = qlen - 1 - (x + 1 - q_span)
+    return x
+
+
+def lq_cnt_match(state, qlen, regs, ax, ay, mini_pos, min_sc_m, min_sc_g,
+                 fopt, covt=150):
+    """Coverage accounting per esterr.c:72-140. Returns this call's new
+    tagged intervals (cv)."""
+    n = len(mini_pos)
+    cv = []
+    if n == 0:
+        return cv
+    if state.lam // qlen > covt and state.avg_k != 0.0:
+        return cv
+    if state.avg_k == 0.0:
+        spans = (mini_pos >> 32) & 0xFF
+        state.avg_k = np.float32(spans.sum() / n)
+    mp_pos = (mini_pos & 0xFFFFFFFF).astype(np.int64)
+    for r in regs:
+        idx = r["idx"]
+        cnt = len(idx)
+        if cnt == 0:
+            continue
+        first = idx[cnt - 1] if r["rev"] else idx[0]
+        x0 = get_for_qpos(qlen, ax[first], ay[first])
+        st = int(np.searchsorted(mp_pos, x0))
+        if st >= n or mp_pos[st] != x0:
+            continue  # logic inconsistency warning in reference
+        rl = int(fopt["seq_lens"][r["rid"]])
+        qs, qe, rs, re = r["qs"], r["qe"], r["rs"], r["re"]
+        hang5 = qs if qs < rs else rs
+        hang3 = (qlen - qe) if (qlen - qe) < (rl - re) else (rl - re)
+        if ((qe - qs) < (qe - qs + hang5 + hang3) * fopt["min_ratio"]
+                or hang5 > fopt["max_overhang"] or hang3 > fopt["max_overhang"]):
+            continue
+        flag = 0
+        state.lam += qe - qs + 1
+        if r["score0"] >= min_sc_m:
+            flag |= 0x2
+        start_tag = (qs << 3) | flag
+        flag |= 0x1
+        end_tag = (qe << 3) | flag
+        cv.append((start_tag, end_tag))
+        if r["score0"] < min_sc_g:
+            continue
+        state.lam2 += qe - qs + 1
+        if state.m_cnts[st] < UINT16_MAX:
+            state.m_cnts[st] += 1
+        kk = 1
+        j = st + 1
+        cnt_r = cnt
+        while j < n and kk < cnt_r:
+            a_i = idx[cnt_r - 1 - kk] if r["rev"] else idx[kk]
+            x = get_for_qpos(qlen, ax[a_i], ay[a_i])
+            if x == int(mp_pos[j]):
+                kk += 1
+                if state.m_cnts[st] < UINT16_MAX:
+                    state.m_cnts[j] += 1
+            j += 1
+    return cv
+
+
+def filter_redundant_coords(state, cv, min_cov):
+    """Interval compression per lqmap.c:25-100 (uint32 wraparound
+    semantics of the original are preserved)."""
+    if not cv:
+        return
+    vc = []
+    for s, e in cv:
+        vc.append(np.uint32(s))
+        vc.append(np.uint32(e))
+    vc.sort()
+    mcoords = []
+    med_cov = 0
+    med_start = np.uint32(0)
+    for val in vc:
+        old = med_cov
+        v32 = int(val)
+        if v32 & 2:
+            if v32 & 1:
+                med_cov -= min_cov if (v32 & 4) else 1
+            else:
+                med_cov += min_cov if (v32 & 4) else 1
+        if old < min_cov <= med_cov:
+            med_start = np.uint32(v32)
+        elif old >= min_cov > med_cov:
+            with np.errstate(over="ignore"):
+                mlen = np.uint32(v32 >> 3) - med_start  # wraps as in C
+            if int(mlen) > 0:
+                mcoords.append((int(med_start), v32))
+                marker_s = int(med_start) | 0x4
+                marker_e = v32 | 0x4
+                state.coords.append((marker_s, marker_e))
+    for s, e in cv:
+        if s & 4:
+            keep = True
+        else:
+            keep = True
+            for ms, me in mcoords:
+                if s >= ms and e <= me:
+                    keep = False
+                    break
+        if keep:
+            state.coords.append((s, e))
+
+
+def compute_reliable_region(coords, min_cov):
+    """Sweep per lqutils.c:83-155 -> (regions, med_regions)."""
+    vc = []
+    for s, e in coords:
+        vc.append(int(np.uint32(s)))
+        vc.append(int(np.uint32(e)))
+    vc.sort()
+    regions, mregions = [], []
+    cov = med_cov = 0
+    start = med_start = 0
+    for val in vc:
+        old_cov = cov
+        old_med = med_cov
+        if val & 1:
+            cov -= 1
+            if val & 2:
+                if val & 4:
+                    med_cov -= min_cov
+                    cov -= (min_cov - 1)
+                else:
+                    med_cov -= 1
+        else:
+            cov += 1
+            if val & 2:
+                if val & 4:
+                    med_cov += min_cov
+                    cov += (min_cov - 1)
+                else:
+                    med_cov += 1
+        if old_cov < min_cov <= cov:
+            start = val >> 3
+            if old_med < min_cov <= med_cov:
+                med_start = val >> 3
+        elif old_cov >= min_cov > cov:
+            if (val >> 3) - start > 0:
+                regions.append((start, val >> 3))
+            if old_med >= min_cov > med_cov:
+                if (val >> 3) - med_start > 0:
+                    mregions.append((med_start, val >> 3))
+        elif old_med < min_cov <= med_cov:
+            med_start = val >> 3
+        elif old_med >= min_cov > med_cov:
+            if (val >> 3) - med_start > 0:
+                mregions.append((med_start, val >> 3))
+    return regions, mregions
+
+
+# ---------------------------------------------------------------------------
+# driver
+
+
+def format_f3(x):
+    return "%.3f" % x
+
+
+def overlap_run(target_reads, query_reads, cfg: OverlapConfig,
+                progress=None):
+    """Full engine run -> list of 9-column TSV row strings
+    (cf. minimap2-coverage.c:545-617)."""
+    k, w = cfg.index.k, cfg.index.w
+
+    if cfg.index.is_hpc:
+        from longqc_tpu.ops.sketch_hpc import sketch_reads_hpc
+        q_sketches = sketch_reads_hpc(query_reads, k, w)
+    else:
+        q_sketches = sketch_reads_device(query_reads, k, w)
+    states = [ReadState(len(s[0])) for s in q_sketches]
+
+    # partition targets into index parts by batch_size bp
+    parts = []
+    cur, bp = [], 0
+    for r in target_reads:
+        cur.append(r)
+        bp += len(r[1])
+        if bp >= cfg.index.batch_size:
+            parts.append(cur)
+            cur, bp = [], 0
+    if cur:
+        parts.append(cur)
+
+    for part in parts:
+        index = build_index(part, k, w, is_hpc=cfg.index.is_hpc)
+        mid_occ = cfg.map.mid_occ or index.mid_occ(cfg.map.mid_occ_frac)
+        fopt = {
+            "seq_lens": index.seq_lens,
+            "min_ratio": cfg.flt.min_ratio,
+            "max_overhang": cfg.flt.max_overhang,
+        }
+        for qi, q in enumerate(query_reads):
+            qname, qseq = q[0], q[1]
+            qlen = len(qseq)
+            ax, ay, mini_pos = collect_seed_hits(
+                index, qname, qlen, q_sketches[qi], mid_occ,
+                no_self=True, ava=cfg.ava)
+            chains = chain_dp(ax, ay, cfg.map.max_gap, cfg.map.bw,
+                              cfg.map.max_chain_skip, cfg.map.min_cnt,
+                              cfg.map.min_chain_score)
+            regs = [chain_to_reg(ax, ay, qlen, sc, idx)
+                    for sc, idx in chains]
+            cv = lq_cnt_match(states[qi], qlen, regs, ax, ay, mini_pos,
+                              cfg.map.min_score_med, cfg.map.min_score_good,
+                              fopt, covt=cfg.covt)
+            filter_redundant_coords(states[qi], cv, cfg.flt.min_coverage)
+            if progress:
+                progress(qi)
+
+    # final per-read rows (minimap2-coverage.c:545-617)
+    rows = []
+    for qi, q in enumerate(query_reads):
+        qname, qseq, qqual = q[0], q[1], q[2]
+        qlen = len(qseq)
+        st = states[qi]
+        mv_n = len(st.m_cnts)
+        if mv_n > 0:
+            # uint32 accumulation with wraparound, then integer division
+            # (minimap2-coverage.c:553-558)
+            ssum = int(st.m_cnts.astype(np.uint64).sum() % (1 << 32)) // mv_n
+            n_match = int((st.m_cnts > ssum).sum())
+            if n_match > 0:
+                # logf(float/float)/float chain in f32, as in the C
+                r = np.float32(mv_n) / np.float32(n_match)
+                div = float(np.float32(np.log(r)) / st.avg_k)
+            else:
+                div = 1.0
+        else:
+            div = 1.0
+        regions, mregions = compute_reliable_region(st.coords,
+                                                    cfg.flt.min_coverage)
+        meanq = mean_q_host(qqual) if qqual else 0.0
+        if regions:
+            tot = sum(e - s for s, e in regions)
+            coords_s = ",".join("%d-%d" % (s, e) for s, e in regions)
+            mcoords_s = (",".join("%d-%d" % (s, e) for s, e in mregions)
+                         if mregions else "0")
+            if cfg.filter_mode:
+                c5 = tot / qlen
+                c8 = "0.0"
+            else:
+                c5 = st.lam / tot
+                c8 = format_f3(st.lam2 / tot)
+            rows.append("%s\t%d\t%d\t%s\t%s\t%s\t%s\t%s\t%s" % (
+                qname, qlen, st.lam, coords_s, mcoords_s,
+                format_f3(c5), format_f3(meanq), format_f3(div), c8))
+        else:
+            rows.append("%s\t%d\t%d\t0\t0\t0.0\t%s\t%s\t0.0" % (
+                qname, qlen, st.lam, format_f3(meanq), format_f3(div)))
+    return rows

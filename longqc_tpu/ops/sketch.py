@@ -75,12 +75,18 @@ def _sliding_rightmost_min(x, w):
 
 
 @functools.partial(jax.jit, static_argnames=("w", "k"))
-def sketch_batch(codes, lengths, *, w, k):
+def sketch_batch(codes, lengths, *, w, k, positions=None, spans=None):
     """Batched minimizer sketch over padded (B, L) code tiles.
+
+    positions/spans: optional (B, L) overrides for homopolymer-compressed
+    input (codes then hold one entry per HPC run; positions = run end
+    index in the original read, spans = windowed sum of the last <=k run
+    lengths, cf. sketch.c:92-104). Default: positions = arange,
+    span = k (plain mode).
 
     Returns dict with (B, L) arrays aligned to buffer-entry positions:
       emit:   per-entry emission count (0 => not a minimizer)
-      hash:   uint64 packed key  hash64(kmer)<<8 | k
+      hash:   uint64 packed key  hash64(kmer)<<8 | span
       pos:    int32 read position of the k-mer's last base
       strand: int32 0/1
       n_entries: (B,) number of buffer entries (S length) per read
@@ -127,7 +133,8 @@ def sketch_batch(codes, lengths, *, w, k):
     sym = (kf == kr) & vspace
     strand_v = jnp.where(kf < kr, 0, 1).astype(jnp.int32)
     kmin = jnp.where(kf < kr, kf, kr)
-    hash_v = (hash64(kmin, mask) << jnp.uint64(8)) | jnp.uint64(k)
+
+    hash_v = hash64(kmin, mask)  # span packed later, in read space
 
     # --- map back to read space; build the S (buffer-entry) sequence:
     # every read position except symmetric-k-mer positions.
@@ -175,8 +182,16 @@ def sketch_batch(codes, lengths, *, w, k):
         out = jax.vmap(lambda a, i, v: a.at[i].set(v))(out, sidx, arr)
         return out[:, :L]
 
-    eligible = valid & (l_r >= k)
-    xs = compact(jnp.where(eligible, hash_r, UINT64_MAX), UINT64_MAX)
+    if spans is None:
+        span_r = jnp.full((B, L), k, jnp.int32)
+    else:
+        span_r = spans.astype(jnp.int32)
+    if positions is not None:
+        rpos = positions.astype(jnp.int32)
+    eligible = valid & (l_r >= k) & (span_r < 256) & (span_r > 0)
+    packed_r = ((hash_r << jnp.uint64(8))
+                | span_r.astype(jnp.uint64) & jnp.uint64(0xFF))
+    xs = compact(jnp.where(eligible, packed_r, UINT64_MAX), UINT64_MAX)
     ys_pos = compact(jnp.where(valid, rpos, 0), 0)
     ys_strand = compact(strand_r, 0)
     ls = compact(l_r, 0)
@@ -247,7 +262,8 @@ def sketch_batch(codes, lengths, *, w, k):
 
 def sketch_to_lists(res):
     """Host-side compaction of sketch_batch output into per-read
-    (hash, pos, strand) numpy arrays in position order with multiplicity."""
+    (hash, pos, strand, span) numpy arrays in position order with
+    multiplicity. `hash` is the bare minimizer hash (packed key >> 8)."""
     emit = np.asarray(res["emit"])
     hsh = np.asarray(res["hash"])
     pos = np.asarray(res["pos"])
@@ -258,5 +274,6 @@ def sketch_to_lists(res):
         rep = np.repeat(idx, emit[b][idx])
         out.append((hsh[b][rep] >> np.uint64(8),
                     pos[b][rep].astype(np.int64),
-                    strand[b][rep].astype(np.int64)))
+                    strand[b][rep].astype(np.int64),
+                    (hsh[b][rep] & np.uint64(0xFF)).astype(np.int64)))
     return out

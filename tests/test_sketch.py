@@ -21,7 +21,7 @@ def _run_case(seqs, w, k):
         # compare as position-sorted multisets of (hash, pos, strand)
         ref_items = sorted(((x >> 8, (y >> 1) & 0x7FFFFFFF, y & 1)
                             for x, y in ref), key=lambda t: (t[1], t[0]))
-        h, p, z = got[i]
+        h, p, z, _sp = got[i]
         got_items = sorted(zip(h.tolist(), p.tolist(), z.tolist()),
                            key=lambda t: (t[1], t[0]))
         assert got_items == ref_items, (
@@ -56,3 +56,28 @@ def test_sketch_low_complexity():
 def test_sketch_short_reads():
     seqs = ["ACGTACGTACGT", "ACGT" * 3, "A" * 20, "ACGTN" * 4]
     _run_case(seqs, 5, 5)
+
+
+def test_sketch_hpc():
+    import random as _r
+    from longqc_tpu.ops.sketch_hpc import sketch_reads_hpc
+    _r.seed(45)
+    seqs = []
+    for _ in range(10):
+        # homopolymer-rich sequences
+        s = ""
+        while len(s) < 300:
+            s += _r.choice("ACGT") * _r.randint(1, 6)
+        seqs.append(s[:300])
+    seqs.append("AAACCCGGGTTTNNAAACCC" * 10)
+    reads = [["r%d" % i, s, "I" * len(s)] for i, s in enumerate(seqs)]
+    got = sketch_reads_hpc(reads, 15, 10)
+    for i, s in enumerate(seqs):
+        ref = ref_sketch(s, 10, 15, is_hpc=True)
+        ref_items = sorted(((x >> 8, x & 0xFF, (y >> 1) & 0x7FFFFFFF, y & 1)
+                            for x, y in ref))
+        h, p, z, sp = got[i]
+        got_items = sorted(zip(h.tolist(), sp.tolist(), p.tolist(),
+                               z.tolist()))
+        assert got_items == ref_items, "hpc read %d: %d vs %d" % (
+            i, len(got_items), len(ref_items))
