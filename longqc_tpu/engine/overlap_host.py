@@ -490,10 +490,28 @@ def format_f3(x):
     return "%.3f" % x
 
 
-def overlap_run(target_reads, query_reads, cfg: OverlapConfig,
+def iter_index_parts(target_iter, batch_size):
+    """Group a target read stream into index parts of ~batch_size bp
+    (whole reads; cf. the -I multi-part index, index.c reader)."""
+    cur, bp = [], 0
+    for r in target_iter:
+        cur.append(r)
+        bp += len(r[1])
+        if bp >= batch_size:
+            yield cur
+            cur, bp = [], 0
+    if cur:
+        yield cur
+
+
+def overlap_run(target_iter, query_reads, cfg: OverlapConfig,
                 progress=None):
     """Full engine run -> list of 9-column TSV row strings
-    (cf. minimap2-coverage.c:545-617)."""
+    (cf. minimap2-coverage.c:545-617).
+
+    target_iter: iterable of [name, seq, qual] — consumed once,
+    streamed part by part (bounded memory).
+    """
     k, w = cfg.index.k, cfg.index.w
 
     if cfg.index.is_hpc:
@@ -503,19 +521,7 @@ def overlap_run(target_reads, query_reads, cfg: OverlapConfig,
         q_sketches = sketch_reads_device(query_reads, k, w)
     states = [ReadState(len(s[0])) for s in q_sketches]
 
-    # partition targets into index parts by batch_size bp
-    parts = []
-    cur, bp = [], 0
-    for r in target_reads:
-        cur.append(r)
-        bp += len(r[1])
-        if bp >= cfg.index.batch_size:
-            parts.append(cur)
-            cur, bp = [], 0
-    if cur:
-        parts.append(cur)
-
-    for part in parts:
+    for part in iter_index_parts(target_iter, cfg.index.batch_size):
         index = build_index(part, k, w, is_hpc=cfg.index.is_hpc)
         mid_occ = cfg.map.mid_occ or index.mid_occ(cfg.map.mid_occ_frac)
         fopt = {

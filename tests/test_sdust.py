@@ -71,3 +71,24 @@ def test_screen_clean_on_random():
     got = masked_lengths(reads)
     for i, r in enumerate(reads):
         assert got[i] == sdust_masked_length(r[1])
+
+
+@pytest.mark.skipif(not os.path.exists(SDUST_BIN),
+                    reason="reference sdust binary unavailable")
+def test_mask_table_matches_reference(tmp_path):
+    from longqc_tpu.engine.masking import mask_table_rows
+    random.seed(17)
+    seqs = _make_seqs()
+    reads = []
+    for i, s in enumerate(seqs):
+        qual = "".join(chr(33 + random.randint(2, 41)) for _ in s)
+        reads.append(["s%d" % i, s, qual])
+    fq = str(tmp_path / "in.fq")
+    with open(fq, "w") as f:
+        for n, s, q in reads:
+            f.write("@%s\n%s\n+\n%s\n" % (n, s, q))
+    out = subprocess.run([SDUST_BIN, fq], capture_output=True, text=True)
+    assert out.returncode == 0
+    ref_rows = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    got_rows = mask_table_rows(reads)
+    assert got_rows == ref_rows
