@@ -58,6 +58,12 @@ class MinimizerIndex:
         # unique keys + spans for occurrence counting / lookup
         self.uniq, self.starts = np.unique(self.h, return_index=True)
         self.counts = np.diff(np.append(self.starts, len(self.h)))
+        # name -> dense id (equal strings share an id: strcmp semantics)
+        # plus lexicographic rank for the -X all-vs-all name ordering
+        uniq_names = sorted(set(names))
+        self.name_rank = {n: i for i, n in enumerate(uniq_names)}
+        self.rid_rank = np.array([self.name_rank[n] for n in names],
+                                 np.int64)
 
     def mid_occ(self, frac):
         """Occurrence threshold: (1-frac) quantile of per-key counts + 1
@@ -146,39 +152,64 @@ def collect_seed_hits(index, qname, qlen, q_sketch, max_occ, no_self=True,
     (position) order.
     """
     h_arr, pos_arr, strand_arr, span_arr = q_sketch
-    ax, ay, mini_pos = [], [], []
-    for t in range(len(h_arr)):
-        h = np.uint64(h_arr[t])
-        qpos = int(pos_arr[t])
-        qstrand = int(strand_arr[t])
-        span = int(span_arr[t])
-        start, n = index.lookup(h)
-        if n >= max_occ:
-            continue
-        mini_pos.append((span << 32) | qpos)
-        for j in range(start, start + n):
-            rid = int(index.rid[j])
-            rps = int(index.ps[j])
-            rpos = rps >> 1
-            rstrand = rps & 1
-            if no_self or ava:
-                tname = index.names[rid]
-                if no_self and qname == tname and rpos == qpos:
-                    continue
-                if ava and qname > tname:
-                    continue
-            if rstrand == qstrand:  # forward
-                x = (rid << 32) | rpos
-                y = (span << 32) | qpos
-            else:
-                x = (1 << 63) | (rid << 32) | rpos
-                y = (span << 32) | (qlen - (qpos + 1 - span) - 1)
-            ax.append(x)
-            ay.append(y)
-    ax = np.array(ax, np.uint64)
-    ay = np.array(ay, np.uint64)
-    order = np.argsort(ax, kind="stable")
-    return ax[order], ay[order], np.array(mini_pos, np.int64)
+    h_arr = np.asarray(h_arr, np.uint64)
+    pos_arr = np.asarray(pos_arr, np.int64)
+    strand_arr = np.asarray(strand_arr, np.int64)
+    span_arr = np.asarray(span_arr, np.int64)
+
+    ii = np.searchsorted(index.uniq, h_arr)
+    ii_c = np.clip(ii, 0, max(len(index.uniq) - 1, 0))
+    if len(index.uniq):
+        found = index.uniq[ii_c] == h_arr
+    else:
+        found = np.zeros(len(h_arr), bool)
+    counts = np.where(found, index.counts[ii_c], 0)
+    starts = np.where(found, index.starts[ii_c], 0)
+
+    keep = counts < max_occ
+    mini_pos = ((span_arr << 32) | pos_arr)[keep]
+
+    ck = counts[keep]
+    sk = starts[keep]
+    n_anchor_src = int(ck.sum())
+    if n_anchor_src == 0:
+        return (np.zeros(0, np.uint64), np.zeros(0, np.uint64),
+                mini_pos.astype(np.int64))
+    # flat index into the sorted index arrays, expanding each minimizer
+    # to its occurrence list (khash insertion order == (rid, pos) order)
+    rep = np.repeat(np.arange(len(ck)), ck)
+    within = np.arange(n_anchor_src) - np.repeat(
+        np.cumsum(ck) - ck, ck)
+    flat = np.repeat(sk, ck) + within
+    rid = index.rid[flat]
+    rps = index.ps[flat]
+    rpos = rps >> 1
+    rstrand = rps & 1
+    qpos = pos_arr[keep][rep]
+    qstrand = strand_arr[keep][rep]
+    span = span_arr[keep][rep]
+
+    drop = np.zeros(n_anchor_src, bool)
+    if no_self or ava:
+        q_rank = index.name_rank.get(qname, -1)
+        if no_self:
+            drop |= (index.rid_rank[rid] == q_rank) & (rpos == qpos)
+        if ava:
+            # strcmp(qname, tname) > 0  <=>  rank(tname) < bisect(qname)
+            import bisect
+            q_pos = bisect.bisect_left(sorted(index.name_rank), qname)
+            drop |= index.rid_rank[rid] < q_pos
+    k_ = ~drop
+    rid, rpos, rstrand = rid[k_], rpos[k_], rstrand[k_]
+    qpos, qstrand, span = qpos[k_], qstrand[k_], span[k_]
+
+    fwd = rstrand == qstrand
+    x = (rid.astype(np.uint64) << np.uint64(32)) | rpos.astype(np.uint64)
+    x = x | np.where(fwd, np.uint64(0), np.uint64(1 << 63))
+    yq = np.where(fwd, qpos, qlen - (qpos + 1 - span) - 1)
+    ay = (span.astype(np.uint64) << np.uint64(32)) | yq.astype(np.uint64)
+    order = np.argsort(x, kind="stable")
+    return x[order], ay[order], mini_pos.astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -333,10 +364,23 @@ def get_for_qpos(qlen, ax_v, ay_v):
     return x
 
 
+def _forward_qpos(qlen, ax_v, ay_v):
+    """Vectorized get_for_qpos (esterr.c:17-24)."""
+    x = (ay_v & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    span = ((ay_v >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+    rev = (ax_v >> np.uint64(63)).astype(bool)
+    return np.where(rev, qlen - 1 - (x + 1 - span), x)
+
+
 def lq_cnt_match(state, qlen, regs, ax, ay, mini_pos, min_sc_m, min_sc_g,
                  fopt, covt=150):
-    """Coverage accounting per esterr.c:72-140. Returns this call's new
-    tagged intervals (cv)."""
+    """Coverage accounting per esterr.c:72-140, vectorized across regs.
+
+    The per-chain m_cnts walk — a merge of two strictly ascending
+    position sequences where every chained anchor's forward position is
+    a mini_pos entry — reduces to a searchsorted gather.
+    Returns this call's new tagged intervals (cv).
+    """
     n = len(mini_pos)
     cv = []
     if n == 0:
@@ -346,48 +390,56 @@ def lq_cnt_match(state, qlen, regs, ax, ay, mini_pos, min_sc_m, min_sc_g,
     if state.avg_k == 0.0:
         spans = (mini_pos >> 32) & 0xFF
         state.avg_k = np.float32(spans.sum() / n)
+    regs = [r for r in regs if len(r["idx"])]
+    if not regs:
+        return cv
     mp_pos = (mini_pos & 0xFFFFFFFF).astype(np.int64)
-    for r in regs:
-        idx = r["idx"]
-        cnt = len(idx)
-        if cnt == 0:
+
+    rev = np.array([r["rev"] for r in regs], bool)
+    first = np.array([r["idx"][-1] if r["rev"] else r["idx"][0]
+                      for r in regs], np.int64)
+    x0 = _forward_qpos(qlen, ax[first], ay[first])
+    st = np.searchsorted(mp_pos, x0)
+    st_c = np.clip(st, 0, n - 1)
+    ok_st = (st < n) & (mp_pos[st_c] == x0)
+
+    rid = np.array([r["rid"] for r in regs], np.int64)
+    qs = np.array([r["qs"] for r in regs], np.int64)
+    qe = np.array([r["qe"] for r in regs], np.int64)
+    rs = np.array([r["rs"] for r in regs], np.int64)
+    re_ = np.array([r["re"] for r in regs], np.int64)
+    sc0 = np.array([r["score0"] for r in regs], np.int64)
+    rl = np.asarray(fopt["seq_lens"])[rid]
+    hang5 = np.minimum(qs, rs)
+    hang3 = np.minimum(qlen - qe, rl - re_)
+    geom = ((qe - qs) >= (qe - qs + hang5 + hang3) * fopt["min_ratio"]) \
+        & (hang5 <= fopt["max_overhang"]) & (hang3 <= fopt["max_overhang"])
+    ok = ok_st & geom
+
+    state.lam += int((qe - qs + 1)[ok].sum())
+    med = sc0 >= min_sc_m
+    starts = (qs << 3) | np.where(med, 2, 0)
+    ends = (qe << 3) | np.where(med, 3, 1)
+    for i in np.nonzero(ok)[0]:
+        cv.append((int(starts[i]), int(ends[i])))
+
+    good = ok & (sc0 >= min_sc_g)
+    state.lam2 += int((qe - qs + 1)[good].sum())
+    for i in np.nonzero(good)[0]:
+        sti = int(st[i])
+        if state.m_cnts[sti] < UINT16_MAX:
+            state.m_cnts[sti] += 1
+        else:
+            continue  # C skips all j-increments when [st] saturated
+        idx = regs[i]["idx"]
+        if len(idx) < 2:
             continue
-        first = idx[cnt - 1] if r["rev"] else idx[0]
-        x0 = get_for_qpos(qlen, ax[first], ay[first])
-        st = int(np.searchsorted(mp_pos, x0))
-        if st >= n or mp_pos[st] != x0:
-            continue  # logic inconsistency warning in reference
-        rl = int(fopt["seq_lens"][r["rid"]])
-        qs, qe, rs, re = r["qs"], r["qe"], r["rs"], r["re"]
-        hang5 = qs if qs < rs else rs
-        hang3 = (qlen - qe) if (qlen - qe) < (rl - re) else (rl - re)
-        if ((qe - qs) < (qe - qs + hang5 + hang3) * fopt["min_ratio"]
-                or hang5 > fopt["max_overhang"] or hang3 > fopt["max_overhang"]):
-            continue
-        flag = 0
-        state.lam += qe - qs + 1
-        if r["score0"] >= min_sc_m:
-            flag |= 0x2
-        start_tag = (qs << 3) | flag
-        flag |= 0x1
-        end_tag = (qe << 3) | flag
-        cv.append((start_tag, end_tag))
-        if r["score0"] < min_sc_g:
-            continue
-        state.lam2 += qe - qs + 1
-        if state.m_cnts[st] < UINT16_MAX:
-            state.m_cnts[st] += 1
-        kk = 1
-        j = st + 1
-        cnt_r = cnt
-        while j < n and kk < cnt_r:
-            a_i = idx[cnt_r - 1 - kk] if r["rev"] else idx[kk]
-            x = get_for_qpos(qlen, ax[a_i], ay[a_i])
-            if x == int(mp_pos[j]):
-                kk += 1
-                if state.m_cnts[st] < UINT16_MAX:
-                    state.m_cnts[j] += 1
-            j += 1
+        walk = idx[-2::-1] if rev[i] else idx[1:]
+        xs = _forward_qpos(qlen, ax[walk], ay[walk])
+        js = np.searchsorted(mp_pos, xs)
+        # all chained anchors' positions exist in mini_pos; guard anyway
+        js = js[(js < n) & (mp_pos[np.clip(js, 0, n - 1)] == xs)]
+        state.m_cnts[js] += 1  # uint16 wraparound as in the C
     return cv
 
 
@@ -505,12 +557,15 @@ def iter_index_parts(target_iter, batch_size):
 
 
 def overlap_run(target_iter, query_reads, cfg: OverlapConfig,
-                progress=None):
+                progress=None, chain_many=None):
     """Full engine run -> list of 9-column TSV row strings
     (cf. minimap2-coverage.c:545-617).
 
     target_iter: iterable of [name, seq, qual] — consumed once,
     streamed part by part (bounded memory).
+    chain_many: optional callable([(ax, ay), ...], map_opt) -> list of
+    chain lists; default runs the exact host chain DP per query. The
+    device path (engine/overlap.py) passes a batched kernel here.
     """
     k, w = cfg.index.k, cfg.index.w
 
@@ -521,6 +576,13 @@ def overlap_run(target_iter, query_reads, cfg: OverlapConfig,
         q_sketches = sketch_reads_device(query_reads, k, w)
     states = [ReadState(len(s[0])) for s in q_sketches]
 
+    if chain_many is None:
+        def chain_many(anchor_sets, m):
+            return [chain_dp(ax, ay, m.max_gap, m.bw, m.max_chain_skip,
+                             m.min_cnt, m.min_chain_score)
+                    for ax, ay in anchor_sets]
+
+    group_size = 64
     for part in iter_index_parts(target_iter, cfg.index.batch_size):
         index = build_index(part, k, w, is_hpc=cfg.index.is_hpc)
         mid_occ = cfg.map.mid_occ or index.mid_occ(cfg.map.mid_occ_frac)
@@ -529,23 +591,32 @@ def overlap_run(target_iter, query_reads, cfg: OverlapConfig,
             "min_ratio": cfg.flt.min_ratio,
             "max_overhang": cfg.flt.max_overhang,
         }
-        for qi, q in enumerate(query_reads):
-            qname, qseq = q[0], q[1]
-            qlen = len(qseq)
-            ax, ay, mini_pos = collect_seed_hits(
-                index, qname, qlen, q_sketches[qi], mid_occ,
-                no_self=True, ava=cfg.ava)
-            chains = chain_dp(ax, ay, cfg.map.max_gap, cfg.map.bw,
-                              cfg.map.max_chain_skip, cfg.map.min_cnt,
-                              cfg.map.min_chain_score)
-            regs = [chain_to_reg(ax, ay, qlen, sc, idx)
-                    for sc, idx in chains]
-            cv = lq_cnt_match(states[qi], qlen, regs, ax, ay, mini_pos,
-                              cfg.map.min_score_med, cfg.map.min_score_good,
-                              fopt, covt=cfg.covt)
-            filter_redundant_coords(states[qi], cv, cfg.flt.min_coverage)
-            if progress:
-                progress(qi)
+        for g0 in range(0, len(query_reads), group_size):
+            group = list(range(g0, min(g0 + group_size, len(query_reads))))
+            anchor_sets = []
+            mini_list = []
+            for qi in group:
+                q = query_reads[qi]
+                ax, ay, mini_pos = collect_seed_hits(
+                    index, q[0], len(q[1]), q_sketches[qi], mid_occ,
+                    no_self=True, ava=cfg.ava)
+                anchor_sets.append((ax, ay))
+                mini_list.append(mini_pos)
+            chains_list = chain_many(anchor_sets, cfg.map)
+            for gi, qi in enumerate(group):
+                q = query_reads[qi]
+                qlen = len(q[1])
+                ax, ay = anchor_sets[gi]
+                regs = [chain_to_reg(ax, ay, qlen, sc, idx)
+                        for sc, idx in chains_list[gi]]
+                cv = lq_cnt_match(states[qi], qlen, regs, ax, ay,
+                                  mini_list[gi], cfg.map.min_score_med,
+                                  cfg.map.min_score_good, fopt,
+                                  covt=cfg.covt)
+                filter_redundant_coords(states[qi], cv,
+                                        cfg.flt.min_coverage)
+                if progress:
+                    progress(qi)
 
     # final per-read rows (minimap2-coverage.c:545-617)
     rows = []

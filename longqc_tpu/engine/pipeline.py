@@ -27,7 +27,7 @@ import numpy as np
 from longqc_tpu import config as C
 from longqc_tpu._version import __version__
 from longqc_tpu.engine.masking import MaskAccumulator
-from longqc_tpu.engine.overlap_host import overlap_run
+from longqc_tpu.engine.overlap import overlap_run_device as overlap_run
 from longqc_tpu.io.fastx import (guess_format, open_seq_chunk, iter_fastx,
                                  write_fastq, FORMAT_BAM, FORMAT_SAM,
                                  FORMAT_FASTA, FORMAT_FAST5, FORMAT_UNKNOWN)

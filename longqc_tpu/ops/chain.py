@@ -1,0 +1,209 @@
+"""Anchor chaining DP as a batched device kernel.
+
+Reproduces mm_chain_dp's score fill (chain.c:41-80) including the
+max_skip pruning heuristic, reformulated for a vector machine:
+
+- The sequential predecessor loop becomes a lax.scan over anchors with
+  an age-ordered ring buffer of the last J anchors, vmapped over a
+  batch of query rows.
+- The C gap penalty `(int)(dd * .01 * avg_qspan) + (ilog2(dd)>>1)`
+  is exactly double-rounded via a per-query host-precomputed table
+  indexed by dd (dd <= bw, so the table is tiny) — TPU has no f64.
+- max_skip pruning: the C breaks the descent after >max_skip "skip
+  events" (non-improving visits of marked anchors, where marks t[p[j]]
+  are set by already-visited anchors). Skip counting is a 0-clamped
+  walk: computed with prefix sums; the mark set depends on the break
+  point itself, so two bounding passes run (marks from all window
+  entries, then marks from entries before the first-pass break); rows
+  where the passes disagree — or where the ring is shorter than the
+  admissible distance window — are flagged for exact host recompute.
+
+Outputs per anchor: f (best chain score ending here), p (predecessor
+index or -1), v (peak score), matching the C arrays; chain extraction/
+backtracking runs on host (tiny pointer-chasing, numpy).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.int32(-(10 ** 9))
+
+
+def gap_penalty_table(avg_qspan, bw):
+    """Host: per-query penalty[dd] for dd in [0, bw], f64-exact
+    (chain.c:67)."""
+    dd = np.arange(bw + 1, dtype=np.float64)
+    lin = (dd * 0.01 * np.float64(np.float32(avg_qspan))).astype(np.int64)
+    log_dd = np.zeros(bw + 1, dtype=np.int64)
+    nz = np.arange(1, bw + 1)
+    log_dd[1:] = np.floor(np.log2(nz)).astype(np.int64)
+    return (lin + (log_dd >> 1)).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("J", "max_dist", "bw",
+                                             "max_skip"))
+def chain_dp_batch(ax, aq, aspan, n_anchors, pen_tab, *, J=64,
+                   max_dist=10000, bw=500, max_skip=25):
+    """Batched chain-DP fill.
+
+    ax:     (Q, A) uint64 anchor x (rev<<63|rid<<32|rpos), sorted per row
+    aq:     (Q, A) int32 query positions
+    aspan:  (Q, A) int32 spans
+    n_anchors: (Q,) int32
+    pen_tab: (Q, bw+1) int32 gap penalties per dd
+
+    Returns f, p, v: (Q, A) int32 (p = absolute predecessor index or -1)
+    and flags: (Q,) bool — rows needing exact host recompute.
+    """
+    Q, A = ax.shape
+    ages = jnp.arange(1, J + 1, dtype=jnp.int32)  # age-ordered ring
+
+    def step(carry, i):
+        (rx, rq, rs, rf, rv, rp, flag) = carry
+        x_i = jax.lax.dynamic_index_in_dim(ax, i, axis=1, keepdims=False)
+        q_i = jax.lax.dynamic_index_in_dim(aq, i, axis=1, keepdims=False)
+        s_i = jax.lax.dynamic_index_in_dim(aspan, i, axis=1, keepdims=False)
+        row_on = i < n_anchors  # (Q,)
+
+        exists = (i - ages)[None, :] >= 0  # (1, J) -> broadcast
+        dr64 = x_i[:, None] - rx  # uint64; wraps huge when diff regions
+        dr_ok = dr64 <= jnp.uint64(max_dist)
+        dr = dr64.astype(jnp.int32)
+        dq = q_i[:, None] - rq
+        valid = (exists & dr_ok & (dr != 0) & (dq > 0) & (dq <= max_dist))
+        dd = jnp.abs(dr - dq)
+        valid = valid & (dd <= bw)
+
+        min_d = jnp.minimum(dq, dr)
+        sc0 = jnp.minimum(min_d, s_i[:, None])
+        pen = jnp.take_along_axis(pen_tab, jnp.clip(dd, 0, bw), axis=1)
+        sc = jnp.where(valid, sc0 - pen + rf, NEG)
+
+        # strict running max in visit (age) order, exclusive prefix
+        def cmax(a, b):
+            return jnp.maximum(a, b)
+        inc = jax.lax.associative_scan(cmax, sc, axis=1)
+        run_before = jnp.concatenate(
+            [jnp.broadcast_to(s_i[:, None], (Q, 1)),
+             jnp.maximum(inc[:, :-1], s_i[:, None])], axis=1)
+        newmax = valid & (sc > run_before)
+
+        # marks: scatter from window entries' predecessors
+        tgt_age = i - rp  # (Q, J) target age of each entry's predecessor
+        def marks_from(src_mask):
+            tgt = jnp.where(src_mask & (rp >= 0)
+                            & (tgt_age >= 1) & (tgt_age <= J),
+                            tgt_age - 1, J)
+            m = jnp.zeros((Q, J + 1), bool)
+            m = jax.vmap(lambda mm, tt: mm.at[tt].set(True))(m, tgt)
+            return m[:, :J]
+
+        def walk_cut(marks):
+            skipev = valid & ~newmax & marks
+            delta = jnp.where(skipev, 1, jnp.where(newmax, -1, 0))
+            S = jnp.cumsum(delta, axis=1)
+            minS = jax.lax.associative_scan(jnp.minimum, S, axis=1)
+            walk = S - jnp.minimum(0, minS)
+            brk = skipev & (walk > max_skip)
+            # first breaking age (1-based); J+1 if none
+            first = jnp.min(jnp.where(
+                brk, ages[None, :], J + 1), axis=1)
+            return first
+
+        marks0 = marks_from(valid)
+        cut0 = walk_cut(marks0)
+        marks1 = marks_from(valid & (ages[None, :] < cut0[:, None]))
+        cut1 = walk_cut(marks1)
+        disagree = cut0 != cut1
+
+        cut = cut1
+        in_cut = ages[None, :] <= cut[:, None]
+        # p = last newmax age within cut (the final strict-max holder);
+        # its sc is the running max, i.e. f_i (C: strict > semantics)
+        nm_in = newmax & in_cut
+        p_age = jnp.max(jnp.where(nm_in, ages[None, :], 0), axis=1)
+        has_pred = p_age > 0
+        f_i = jnp.where(has_pred,
+                        jnp.max(jnp.where(nm_in, sc, NEG), axis=1), s_i)
+        p_abs = jnp.where(has_pred, i - p_age, -1)
+        # v from predecessor ring slot (age a lives at ring index a-1)
+        v_pred = jnp.take_along_axis(
+            rv, jnp.clip(p_age - 1, 0, J - 1)[:, None], axis=1)[:, 0]
+        v_i = jnp.where(has_pred & (v_pred > f_i), v_pred, f_i)
+
+        # truncation flag: no break and the oldest ring entry is still
+        # within the admissible distance window (x is sorted, so even
+        # older anchors could be admissible too and C would visit them)
+        oldest_ok = exists[:, J - 1] & dr_ok[:, J - 1]
+        trunc = (cut > J) & oldest_ok
+        flag = flag | (row_on & (disagree | trunc))
+
+        # push ring (age order: newest first)
+        def push(ring, val):
+            return jnp.concatenate([val[:, None], ring[:, :-1]], axis=1)
+        rx = push(rx, x_i)
+        rq = push(rq, q_i)
+        rs = push(rs, s_i)
+        rf = push(rf, f_i)
+        rv = push(rv, v_i)
+        rp = push(rp, p_abs)
+        out = (jnp.where(row_on, f_i, 0),
+               jnp.where(row_on, p_abs, -1),
+               jnp.where(row_on, v_i, 0))
+        return (rx, rq, rs, rf, rv, rp, flag), out
+
+    init = (jnp.zeros((Q, J), jnp.uint64),
+            jnp.zeros((Q, J), jnp.int32),
+            jnp.zeros((Q, J), jnp.int32),
+            jnp.zeros((Q, J), jnp.int32),
+            jnp.zeros((Q, J), jnp.int32),
+            jnp.full((Q, J), -(10 ** 9), jnp.int32),
+            jnp.zeros((Q,), bool))
+    (rx, rq, rs, rf, rv, rp, flags), (f, p, v) = jax.lax.scan(
+        step, init, jnp.arange(A, dtype=jnp.int32))
+    # scan stacks outputs as (A, Q); transpose to (Q, A)
+    return f.T, p.T, v.T, flags
+
+
+def backtrack_chains(f, p, v, n, min_cnt, min_sc):
+    """Host chain extraction (chain.c:82-124 semantics): find chain
+    ends, sort by (score, end) desc, greedy backtrack with anchor
+    ownership; rejected chains keep their marks. Returns
+    [(score, anchor_idx_array)]."""
+    f = np.asarray(f[:n], np.int64)
+    p = np.asarray(p[:n], np.int64)
+    v = np.asarray(v[:n], np.int64)
+    t = np.zeros(n, bool)
+    t[p[p >= 0]] = True
+    ends = np.nonzero(~t & (v >= min_sc))[0]
+    if len(ends) == 0:
+        return []
+    u = []
+    for i in ends:
+        j = i
+        while j >= 0 and f[j] < v[j]:
+            j = p[j]
+        if j < 0:
+            j = i
+        u.append((int(f[j]), int(j)))
+    u.sort(key=lambda s: (s[0], s[1]), reverse=True)
+    used = np.zeros(n, bool)
+    chains = []
+    for score, end in u:
+        path = []
+        j = end
+        while j >= 0 and not used[j]:
+            path.append(j)
+            used[j] = True
+            j = p[j]
+        if j < 0:
+            if len(path) >= min_cnt:
+                chains.append((score, np.array(path[::-1], np.int64)))
+        elif score - int(f[j]) >= min_sc:
+            if len(path) >= min_cnt:
+                chains.append((score - int(f[j]),
+                               np.array(path[::-1], np.int64)))
+    return chains

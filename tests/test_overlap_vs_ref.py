@@ -79,3 +79,24 @@ def test_overlap_matches_reference(tmp_path):
             if n_bad <= 5:
                 print("row %d:\n  got %s\n  ref %s" % (i, g, r))
     assert n_bad == 0, "%d/%d rows differ" % (n_bad, len(ref_rows))
+
+
+@pytest.mark.slow
+def test_device_overlap_matches_host():
+    """Device-path engine rows must equal the host spec rows."""
+    from longqc_tpu.engine.overlap import overlap_run_device
+
+    rng = np.random.RandomState(12)
+    from util_synth import make_genome as mg, sample_reads as sr
+    genome = mg(rng, 15000)
+    reads = sr(rng, genome, 50, min_len=700, max_len=2200, err=0.12,
+               junk_frac=0.15)
+    queries = reads[:15]
+    cfg = OverlapConfig(
+        index=IndexOpt(k=12, w=5),
+        map=MapOpt(min_score_med=80, min_score_good=160),
+        flt=FltOpt(min_ovlp=0),
+    )
+    host_rows = overlap_run(list(reads), queries, cfg)
+    dev_rows = overlap_run_device(list(reads), queries, cfg)
+    assert dev_rows == host_rows
