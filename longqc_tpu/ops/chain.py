@@ -155,13 +155,14 @@ def chain_dp_batch(ax, aq, aspan, n_anchors, pen_tab, *, J=64,
                jnp.where(row_on, v_i, 0))
         return (rx, rq, rs, rf, rv, rp, flag), out
 
-    init = (jnp.zeros((Q, J), jnp.uint64),
-            jnp.zeros((Q, J), jnp.int32),
-            jnp.zeros((Q, J), jnp.int32),
-            jnp.zeros((Q, J), jnp.int32),
-            jnp.zeros((Q, J), jnp.int32),
-            jnp.full((Q, J), -(10 ** 9), jnp.int32),
-            jnp.zeros((Q,), bool))
+    # derive the carry init from the inputs so it inherits any varying
+    # manual axes when the kernel runs inside shard_map
+    zrow = (n_anchors * 0)[:, None]  # (Q, 1) int32, input-derived
+    zJ = jnp.zeros((Q, J), jnp.int32) + zrow
+    init = (zJ.astype(jnp.uint64),
+            zJ, zJ, zJ, zJ,
+            zJ - (10 ** 9),
+            (n_anchors * 0) > 0)
     (rx, rq, rs, rf, rv, rp, flags), (f, p, v) = jax.lax.scan(
         step, init, jnp.arange(A, dtype=jnp.int32))
     # scan stacks outputs as (A, Q); transpose to (Q, A)
