@@ -55,7 +55,8 @@ class DeviceChainer:
             for off in range(0, len(idxs), _GROUP_Q):
                 sel = idxs[off:off + _GROUP_Q]
                 Q = _GROUP_Q
-                axb = np.zeros((Q, A), np.uint64)
+                axh = np.zeros((Q, A), np.int32)
+                axl = np.zeros((Q, A), np.int32)
                 aqb = np.zeros((Q, A), np.int32)
                 asb = np.zeros((Q, A), np.int32)
                 nb = np.zeros((Q,), np.int32)
@@ -63,7 +64,10 @@ class DeviceChainer:
                 for r, i in enumerate(sel):
                     ax, ay = anchor_sets[i]
                     n = len(ax)
-                    axb[r, :n] = ax
+                    axh[r, :n] = (ax >> np.uint64(32)).astype(np.uint32
+                                 ).view(np.int32)
+                    axl[r, :n] = (ax & np.uint64(0xFFFFFFFF)
+                                  ).astype(np.uint32).view(np.int32)
                     aqb[r, :n] = (ay & np.uint64(0xFFFFFFFF)
                                   ).astype(np.int32)
                     asb[r, :n] = ((ay >> np.uint64(32)) & np.uint64(0xFF)
@@ -73,7 +77,7 @@ class DeviceChainer:
                     pen[r] = gap_penalty_table(
                         np.float32(spans.sum() / n), m.bw)
                 f, p, v, flags = chain_dp_batch(
-                    axb, aqb, asb, nb, pen, J=J, max_dist=m.max_gap,
+                    axh, axl, aqb, asb, nb, pen, J=J, max_dist=m.max_gap,
                     bw=m.bw, max_skip=m.max_chain_skip)
                 f = np.asarray(f)
                 p = np.asarray(p)

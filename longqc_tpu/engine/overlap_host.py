@@ -29,7 +29,8 @@ import numpy as np
 from longqc_tpu.config import OverlapConfig
 from longqc_tpu.io.pack import pack_reads
 from longqc_tpu.ops.quality import mean_q_host
-from longqc_tpu.ops.sketch import sketch_batch, sketch_to_lists
+from longqc_tpu.ops.sketch import (sketch_batch, sketch_to_lists,
+                                   sketch_batch_compact, compact_to_lists)
 
 UINT16_MAX = 0xFFFF
 
@@ -112,9 +113,18 @@ def sketch_reads_device(reads, k, w, batch_size=128):
                 chunk.append(["_pad", "A" * k, "!" * k])  # dummy rows
             batch = pack_reads(chunk, max_len=blen, pad_to=blen,
                                with_quals=False)
-            res = sketch_batch(np.asarray(batch.codes),
-                               np.asarray(batch.lengths), w=w, k=k)
-            lists = sketch_to_lists(res)
+            m_max = max(blen // 2, 128)
+            res = sketch_batch_compact(np.asarray(batch.codes),
+                                       np.asarray(batch.lengths),
+                                       w=w, k=k, m_max=m_max)
+            if bool(np.asarray(res["overflow"]).any()):
+                # pathological low-complexity reads overflow the dense
+                # buffer: fall back to the full-width output
+                res = sketch_batch(np.asarray(batch.codes),
+                                   np.asarray(batch.lengths), w=w, k=k)
+                lists = sketch_to_lists(res)
+            else:
+                lists = compact_to_lists(res)
             for slot, i in enumerate(sel):
                 out[i] = lists[slot]
     return out

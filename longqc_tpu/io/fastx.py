@@ -104,8 +104,17 @@ def iter_fastx(fn):
 
     Name is the first whitespace-delimited token (kseq semantics).
     Multi-line FASTA is supported; FASTQ is strict 4-line (universal for
-    long-read data).
+    long-read data). Uses the native C++ reader when built
+    (io/native.py), else the pure-Python lexer below.
     """
+    from longqc_tpu.io import native as _native
+    if _native.available():
+        yield from _native.iter_fastx_native(fn)
+        return
+    yield from _iter_fastx_py(fn)
+
+
+def _iter_fastx_py(fn):
     fh = _open_maybe_gzip(fn, "rt")
     try:
         line = fh.readline()

@@ -45,33 +45,39 @@ def gap_penalty_table(avg_qspan, bw):
 
 @functools.partial(jax.jit, static_argnames=("J", "max_dist", "bw",
                                              "max_skip"))
-def chain_dp_batch(ax, aq, aspan, n_anchors, pen_tab, *, J=64,
+def chain_dp_batch(ax_hi, ax_lo, aq, aspan, n_anchors, pen_tab, *, J=64,
                    max_dist=10000, bw=500, max_skip=25):
     """Batched chain-DP fill.
 
-    ax:     (Q, A) uint64 anchor x (rev<<63|rid<<32|rpos), sorted per row
+    ax_hi:  (Q, A) int32 anchor x upper bits (rev<<31 | rid), row-sorted
+    ax_lo:  (Q, A) int32 anchor target position (x low 32 bits)
     aq:     (Q, A) int32 query positions
     aspan:  (Q, A) int32 spans
     n_anchors: (Q,) int32
     pen_tab: (Q, bw+1) int32 gap penalties per dd
 
+    The 64-bit anchor key is split so the scan body runs entirely in
+    int32 lanes (u64 is emulated on TPU): the C distance window
+    `ri - a[j].x > max_dist` admits a predecessor iff the upper bits
+    are equal and the position delta is within max_dist.
+
     Returns f, p, v: (Q, A) int32 (p = absolute predecessor index or -1)
     and flags: (Q,) bool — rows needing exact host recompute.
     """
-    Q, A = ax.shape
+    Q, A = ax_hi.shape
     ages = jnp.arange(1, J + 1, dtype=jnp.int32)  # age-ordered ring
 
     def step(carry, i):
-        (rx, rq, rs, rf, rv, rp, flag) = carry
-        x_i = jax.lax.dynamic_index_in_dim(ax, i, axis=1, keepdims=False)
+        (rxh, rxl, rq, rs, rf, rv, rp, flag) = carry
+        xh_i = jax.lax.dynamic_index_in_dim(ax_hi, i, axis=1, keepdims=False)
+        xl_i = jax.lax.dynamic_index_in_dim(ax_lo, i, axis=1, keepdims=False)
         q_i = jax.lax.dynamic_index_in_dim(aq, i, axis=1, keepdims=False)
         s_i = jax.lax.dynamic_index_in_dim(aspan, i, axis=1, keepdims=False)
         row_on = i < n_anchors  # (Q,)
 
         exists = (i - ages)[None, :] >= 0  # (1, J) -> broadcast
-        dr64 = x_i[:, None] - rx  # uint64; wraps huge when diff regions
-        dr_ok = dr64 <= jnp.uint64(max_dist)
-        dr = dr64.astype(jnp.int32)
+        dr = xl_i[:, None] - rxl
+        dr_ok = (xh_i[:, None] == rxh) & (dr >= 0) & (dr <= max_dist)
         dq = q_i[:, None] - rq
         valid = (exists & dr_ok & (dr != 0) & (dq > 0) & (dq <= max_dist))
         dd = jnp.abs(dr - dq)
@@ -91,15 +97,15 @@ def chain_dp_batch(ax, aq, aspan, n_anchors, pen_tab, *, J=64,
              jnp.maximum(inc[:, :-1], s_i[:, None])], axis=1)
         newmax = valid & (sc > run_before)
 
-        # marks: scatter from window entries' predecessors
+        # marks: an entry at target age a is marked iff some valid
+        # source entry's stored predecessor points at it. Computed as a
+        # (Q, J_src, J_tgt) broadcast-compare (TPU scatters serialize;
+        # the compare matrix is pure VPU work).
         tgt_age = i - rp  # (Q, J) target age of each entry's predecessor
         def marks_from(src_mask):
-            tgt = jnp.where(src_mask & (rp >= 0)
-                            & (tgt_age >= 1) & (tgt_age <= J),
-                            tgt_age - 1, J)
-            m = jnp.zeros((Q, J + 1), bool)
-            m = jax.vmap(lambda mm, tt: mm.at[tt].set(True))(m, tgt)
-            return m[:, :J]
+            src_ok = src_mask & (rp >= 0) & (tgt_age >= 1) & (tgt_age <= J)
+            eq = tgt_age[:, :, None] == ages[None, None, :]
+            return jnp.any(eq & src_ok[:, :, None], axis=1)
 
         def walk_cut(marks):
             skipev = valid & ~newmax & marks
@@ -129,9 +135,10 @@ def chain_dp_batch(ax, aq, aspan, n_anchors, pen_tab, *, J=64,
         f_i = jnp.where(has_pred,
                         jnp.max(jnp.where(nm_in, sc, NEG), axis=1), s_i)
         p_abs = jnp.where(has_pred, i - p_age, -1)
-        # v from predecessor ring slot (age a lives at ring index a-1)
-        v_pred = jnp.take_along_axis(
-            rv, jnp.clip(p_age - 1, 0, J - 1)[:, None], axis=1)[:, 0]
+        # v from predecessor ring slot (age a lives at ring index a-1);
+        # select-reduce instead of a gather
+        v_pred = jnp.max(jnp.where(ages[None, :] == p_age[:, None],
+                                   rv, NEG), axis=1)
         v_i = jnp.where(has_pred & (v_pred > f_i), v_pred, f_i)
 
         # truncation flag: no break and the oldest ring entry is still
@@ -144,7 +151,8 @@ def chain_dp_batch(ax, aq, aspan, n_anchors, pen_tab, *, J=64,
         # push ring (age order: newest first)
         def push(ring, val):
             return jnp.concatenate([val[:, None], ring[:, :-1]], axis=1)
-        rx = push(rx, x_i)
+        rxh = push(rxh, xh_i)
+        rxl = push(rxl, xl_i)
         rq = push(rq, q_i)
         rs = push(rs, s_i)
         rf = push(rf, f_i)
@@ -153,17 +161,16 @@ def chain_dp_batch(ax, aq, aspan, n_anchors, pen_tab, *, J=64,
         out = (jnp.where(row_on, f_i, 0),
                jnp.where(row_on, p_abs, -1),
                jnp.where(row_on, v_i, 0))
-        return (rx, rq, rs, rf, rv, rp, flag), out
+        return (rxh, rxl, rq, rs, rf, rv, rp, flag), out
 
     # derive the carry init from the inputs so it inherits any varying
     # manual axes when the kernel runs inside shard_map
     zrow = (n_anchors * 0)[:, None]  # (Q, 1) int32, input-derived
     zJ = jnp.zeros((Q, J), jnp.int32) + zrow
-    init = (zJ.astype(jnp.uint64),
-            zJ, zJ, zJ, zJ,
+    init = (zJ - 1, zJ, zJ, zJ, zJ, zJ,
             zJ - (10 ** 9),
             (n_anchors * 0) > 0)
-    (rx, rq, rs, rf, rv, rp, flags), (f, p, v) = jax.lax.scan(
+    (rxh, rxl, rq, rs, rf, rv, rp, flags), (f, p, v) = jax.lax.scan(
         step, init, jnp.arange(A, dtype=jnp.int32))
     # scan stacks outputs as (A, Q); transpose to (Q, A)
     return f.T, p.T, v.T, flags

@@ -74,8 +74,7 @@ def _sliding_rightmost_min(x, w):
     return vals, idxs
 
 
-@functools.partial(jax.jit, static_argnames=("w", "k"))
-def sketch_batch(codes, lengths, *, w, k, positions=None, spans=None):
+def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
     """Batched minimizer sketch over padded (B, L) code tiles.
 
     positions/spans: optional (B, L) overrides for homopolymer-compressed
@@ -276,4 +275,68 @@ def sketch_to_lists(res):
                     pos[b][rep].astype(np.int64),
                     strand[b][rep].astype(np.int64),
                     (hsh[b][rep] & np.uint64(0xFF)).astype(np.int64)))
+    return out
+
+
+sketch_batch = functools.partial(jax.jit, static_argnames=("w", "k"))(
+    _sketch_core)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "k", "m_max"))
+def sketch_batch_compact(codes, lengths, *, w, k, m_max,
+                         positions=None, spans=None):
+    """Minimizer sketch with on-device output compaction.
+
+    Emitted entries are packed densely so only ~n_minimizer slots cross
+    the host-device boundary instead of full (B, L) tiles:
+      keys: (B, m_max) uint64  packed x (hash<<8|span)
+      meta: (B, m_max) int32   pos<<5 | strand<<4 | min(count, 15)
+      n_slots: (B,) int32      compacted entries per read
+      overflow: (B,) bool      n_slots exceeded m_max (host fallback)
+    """
+    res = _sketch_core(codes, lengths, w=w, k=k, positions=positions,
+                       spans=spans)
+    B, L = codes.shape
+    emit = res["emit"]
+    has = emit > 0
+    rank = jnp.cumsum(has, axis=1)
+    slot = jnp.where(has, rank - 1, m_max)
+    slot = jnp.minimum(slot, m_max)  # overflow entries land in the trash
+    keys = jnp.full((B, m_max + 1), UINT64_MAX, jnp.uint64)
+    keys = jax.vmap(lambda a, i, v: a.at[i].set(v))(keys, slot, res["hash"])
+    # count field: emissions per entry can reach ~w; 4 bits suffices
+    # for all supported presets (w <= 10)
+    meta_src = ((res["pos"] << 5) | (res["strand"] << 4)
+                | jnp.minimum(emit, 15))
+    meta = jnp.zeros((B, m_max + 1), jnp.int32)
+    meta = jax.vmap(lambda a, i, v: a.at[i].set(v))(meta, slot, meta_src)
+    n_slots = rank[:, -1]
+    return {
+        "keys": keys[:, :m_max],
+        "meta": meta[:, :m_max],
+        "n_slots": jnp.minimum(n_slots, m_max),
+        "overflow": n_slots > m_max,
+    }
+
+
+def compact_to_lists(res):
+    """Host expansion of sketch_batch_compact output into per-read
+    (hash, pos, strand, span) arrays (sketch_to_lists contract)."""
+    keys = np.asarray(res["keys"])
+    meta = np.asarray(res["meta"])
+    n_slots = np.asarray(res["n_slots"])
+    out = []
+    for b in range(keys.shape[0]):
+        n = int(n_slots[b])
+        kk = keys[b, :n]
+        mm = meta[b, :n]
+        cnt = mm & 15
+        if (cnt > 1).any():
+            rep = np.repeat(np.arange(n), cnt)
+            kk = kk[rep]
+            mm = mm[rep]
+        out.append((kk >> np.uint64(8),
+                    (mm >> 5).astype(np.int64),
+                    ((mm >> 4) & 1).astype(np.int64),
+                    (kk & np.uint64(0xFF)).astype(np.int64)))
     return out

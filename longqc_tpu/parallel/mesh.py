@@ -43,7 +43,7 @@ def sharded_sketch_stats(mesh, codes, lengths, *, w, k):
     return jax.jit(step)(codes, lengths)
 
 
-def sharded_chain_step(mesh, ax, aq, aspan, n_anchors, pen_tab, *,
+def sharded_chain_step(mesh, ax_hi, ax_lo, aq, aspan, n_anchors, pen_tab, *,
                        J=16, max_dist=10000, bw=500, max_skip=25):
     """Data-parallel chain-DP: query rows sharded over the data axis,
     per-row f/p/v shard-local, plus a psum'd global score histogram
@@ -55,20 +55,20 @@ def sharded_chain_step(mesh, ax, aq, aspan, n_anchors, pen_tab, *,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P("data", None), P("data", None), P("data", None),
-                       P("data"), P("data", None)),
+                       P("data", None), P("data"), P("data", None)),
              out_specs=(P("data", None), P("data", None),
                         P("data", None), P("data"), P()))
-    def step(ax, aq, aspan, n_anchors, pen_tab):
-        f, p, v, flags = chain_dp_batch(ax, aq, aspan, n_anchors, pen_tab,
-                                        J=J, max_dist=max_dist, bw=bw,
-                                        max_skip=max_skip)
+    def step(ax_hi, ax_lo, aq, aspan, n_anchors, pen_tab):
+        f, p, v, flags = chain_dp_batch(ax_hi, ax_lo, aq, aspan, n_anchors,
+                                        pen_tab, J=J, max_dist=max_dist,
+                                        bw=bw, max_skip=max_skip)
         best = jnp.max(f, axis=1)
         hist = jnp.zeros((nbins,), jnp.int32).at[
             jnp.clip(best // 32, 0, nbins - 1)].add(1)
         hist = jax.lax.psum(hist, "data")
         return f, p, v, flags, hist
 
-    return jax.jit(step)(ax, aq, aspan, n_anchors, pen_tab)
+    return jax.jit(step)(ax_hi, ax_lo, aq, aspan, n_anchors, pen_tab)
 
 
 def dryrun(n_devices: int) -> None:
@@ -90,11 +90,12 @@ def dryrun(n_devices: int) -> None:
     Q = n_devices * 2
     A = 64
     bw = 500
-    ax = np.zeros((Q, A), np.uint64)
+    ax_hi = np.zeros((Q, A), np.int32)
+    ax_lo = np.zeros((Q, A), np.int32)
     aq = np.zeros((Q, A), np.int32)
     for r in range(Q):
         t = np.cumsum(rng.randint(1, 40, size=A))
-        ax[r] = t.astype(np.uint64)
+        ax_lo[r] = t.astype(np.int32)
         aq[r] = (t + rng.randint(-10, 10, size=A)).astype(np.int32)
     aspan = np.full((Q, A), 12, np.int32)
     n_anchors = np.full((Q,), A, np.int32)
@@ -102,6 +103,6 @@ def dryrun(n_devices: int) -> None:
     pen = np.broadcast_to(gap_penalty_table(np.float32(12.0), bw),
                           (Q, bw + 1)).copy()
     f, p, v, flags, hist = sharded_chain_step(
-        mesh, ax, aq, aspan, n_anchors, pen, bw=bw)
+        mesh, ax_hi, ax_lo, aq, aspan, n_anchors, pen, bw=bw)
     f.block_until_ready()
     assert int(np.asarray(hist).sum()) == Q

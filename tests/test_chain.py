@@ -86,20 +86,22 @@ def test_chain_kernel_matches_host():
     Q = len(sets)
     A = max(len(ax) for ax, _ in sets)
     A = ((A + 127) // 128) * 128
-    axb = np.zeros((Q, A), np.uint64)
+    axh = np.zeros((Q, A), np.int32)
+    axl = np.zeros((Q, A), np.int32)
     aqb = np.zeros((Q, A), np.int32)
     asb = np.zeros((Q, A), np.int32)
     nb = np.zeros((Q,), np.int32)
     pen = np.zeros((Q, bw + 1), np.int32)
     for r, (ax, ay) in enumerate(sets):
         n = len(ax)
-        axb[r, :n] = ax
+        axh[r, :n] = (ax >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        axl[r, :n] = (ax & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
         aqb[r, :n] = (ay & np.uint64(0xFFFFFFFF)).astype(np.int32)
         asb[r, :n] = ((ay >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int32)
         nb[r] = n
         spans = asb[r, :n]
         pen[r] = gap_penalty_table(np.float32(spans.sum() / n), bw)
-    f, p, v, flags = chain_dp_batch(axb, aqb, asb, nb, pen, J=J,
+    f, p, v, flags = chain_dp_batch(axh, axl, aqb, asb, nb, pen, J=J,
                                     max_dist=max_dist, bw=bw,
                                     max_skip=max_skip)
     f, p, v, flags = map(np.asarray, (f, p, v, flags))
