@@ -194,16 +194,36 @@ def run_sampleqc(input_path, out_dir, preset_name, *, nsample=5000,
                 s_reads[ng_idx[i]] = t
 
     s_n_seqs = len([r for r in s_reads if r])
+    ss_reads = []
+    if short:
+        # -b/--short: reads under the length threshold map with a more
+        # sensitive setting and are merged back (longQC.py:107-112,
+        # 409-415, 528-550)
+        ss_reads = [r for r in s_reads
+                    if r and len(r[1]) < C.SHORT_LENGTH_THRESHOLD]
+        s_reads = [r for r in s_reads
+                   if r and len(r[1]) >= C.SHORT_LENGTH_THRESHOLD]
+        if ss_reads:
+            write_fastq(os.path.join(
+                analysis_dir, "short_subsample%s.fastq" % sfx), ss_reads)
     write_fastq(sample_path, s_reads)
     logger.info("subsample written: %d reads", s_n_seqs)
 
     # ---------------- overlap run ----------------
     cfg = C.overlap_config_for_sample(preset, fast=fast,
                                       index_size=index_size)
-    target_iter = _read_stream(fastx_path if file_format_code in
-                               (FORMAT_BAM, FORMAT_FAST5) else input_path)
+
+    def target_iter():
+        return _read_stream(fastx_path if file_format_code in
+                            (FORMAT_BAM, FORMAT_FAST5) else input_path)
+
     logger.info("overlap computation started")
-    rows = overlap_run(target_iter, s_reads, cfg)
+    rows = overlap_run(target_iter(), s_reads, cfg)
+    if short and ss_reads:
+        scfg = C.overlap_config_for_sample(preset, fast=fast,
+                                           index_size=index_size,
+                                           short=True)
+        rows = rows + overlap_run(target_iter(), ss_reads, scfg)
     with open(cov_path, "w") as f:
         f.write("\n".join(rows) + "\n")
     logger.info("overlap computation finished")
@@ -217,7 +237,10 @@ def run_sampleqc(input_path, out_dir, preset_name, *, nsample=5000,
             if os.path.exists(ref_path) else []
         if control_reads:
             fcfg = C.overlap_config_for_filter()
-            control_rows = overlap_run(control_reads, s_reads, fcfg)
+            control_rows = overlap_run(list(control_reads), s_reads, fcfg)
+            if short and ss_reads:
+                control_rows = control_rows + overlap_run(
+                    list(control_reads), ss_reads, fcfg)
             with open(os.path.join(
                     mm2_dir, "spiked_in_control%s.txt" % sfx), "w") as f:
                 f.write("\n".join(control_rows) + "\n")

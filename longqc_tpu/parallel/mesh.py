@@ -44,7 +44,7 @@ def sharded_sketch_stats(mesh, codes, lengths, *, w, k):
 
 
 def sharded_chain_step(mesh, ax_hi, ax_lo, aq, aspan, n_anchors, pen_tab, *,
-                       J=16, max_dist=10000, bw=500, max_skip=25):
+                       J=64, max_dist=10000, bw=500, max_skip=25):
     """Data-parallel chain-DP: query rows sharded over the data axis,
     per-row f/p/v shard-local, plus a psum'd global score histogram
     (the cross-shard merge the full pipeline uses for coverage stats).
@@ -53,15 +53,23 @@ def sharded_chain_step(mesh, ax_hi, ax_lo, aq, aspan, n_anchors, pen_tab, *,
 
     nbins = 16
 
+    from longqc_tpu.ops.chain import make_carry
+
     @partial(shard_map, mesh=mesh,
              in_specs=(P("data", None), P("data", None), P("data", None),
                        P("data", None), P("data"), P("data", None)),
              out_specs=(P("data", None), P("data", None),
                         P("data", None), P("data"), P()))
     def step(ax_hi, ax_lo, aq, aspan, n_anchors, pen_tab):
-        f, p, v, flags = chain_dp_batch(ax_hi, ax_lo, aq, aspan, n_anchors,
-                                        pen_tab, J=J, max_dist=max_dist,
-                                        bw=bw, max_skip=max_skip)
+        carry = tuple(jnp.asarray(c) + (n_anchors[:1] * 0)[:, None]
+                      if c.ndim == 2 else
+                      jnp.asarray(c) | ((n_anchors[:1] * 0) > 0)
+                      for c in make_carry(ax_hi.shape[0], J))
+        f, p, v, flags, _ = chain_dp_batch(ax_hi, ax_lo, aq, aspan,
+                                           n_anchors, pen_tab, carry,
+                                           jnp.int32(0), J=J,
+                                           max_dist=max_dist,
+                                           bw=bw, max_skip=max_skip)
         best = jnp.max(f, axis=1)
         hist = jnp.zeros((nbins,), jnp.int32).at[
             jnp.clip(best // 32, 0, nbins - 1)].add(1)

@@ -101,9 +101,12 @@ def test_chain_kernel_matches_host():
         nb[r] = n
         spans = asb[r, :n]
         pen[r] = gap_penalty_table(np.float32(spans.sum() / n), bw)
-    f, p, v, flags = chain_dp_batch(axh, axl, aqb, asb, nb, pen, J=J,
-                                    max_dist=max_dist, bw=bw,
-                                    max_skip=max_skip)
+    from longqc_tpu.ops.chain import make_carry
+    carry = make_carry(Q, J)
+    f, p, v, flags, _ = chain_dp_batch(axh, axl, aqb, asb, nb, pen, carry,
+                                       np.int32(0), J=J,
+                                       max_dist=max_dist, bw=bw,
+                                       max_skip=max_skip)
     f, p, v, flags = map(np.asarray, (f, p, v, flags))
     n_flagged = int(flags.sum())
     print("flagged rows: %d/%d" % (n_flagged, Q))
