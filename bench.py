@@ -68,7 +68,11 @@ def main():
     )
 
     # warm-up on a slice (compile caches)
+    print("bench: warm-up (compiles)...", file=sys.stderr, flush=True)
+    t0 = time.time()
     overlap_run_device(list(reads[:200]), queries[:16], cfg)
+    print("bench: warm-up done in %.1fs" % (time.time() - t0),
+          file=sys.stderr, flush=True)
 
     t0 = time.time()
     rows = overlap_run_device(list(reads), queries, cfg)

@@ -87,10 +87,12 @@ class MinimizerIndex:
 
 
 def _len_bucket(n):
-    """Round up to a power of two (min 256) to bound jit recompiles."""
-    b = 256
+    """Round up to a power of four (min 4096): compile cost dominates on
+    the remote-compiled TPU target, so very few distinct shapes beat
+    tighter padding."""
+    b = 4096
     while b < n:
-        b *= 2
+        b *= 4
     return b
 
 
@@ -552,18 +554,35 @@ def format_f3(x):
     return "%.3f" % x
 
 
-def iter_index_parts(target_iter, batch_size):
-    """Group a target read stream into index parts of ~batch_size bp
-    (whole reads; cf. the -I multi-part index, index.c reader)."""
-    cur, bp = [], 0
+def iter_index_parts(target_iter, batch_size, mini_batch_size=50_000_000):
+    """Group a target read stream into index parts (-I semantics).
+
+    Two-level grouping per the reference reader (index.c:240-252,
+    bseq.c:68-88): reads accumulate into mini-batches that close once
+    their size reaches min(mini_batch_size, batch_size) (the crossing
+    read included); a part closes before accepting another mini-batch
+    when its total strictly exceeds batch_size.
+    """
+    mbs = min(mini_batch_size, batch_size)
+    part, part_bp = [], 0
+    mini, mini_bp = [], 0
     for r in target_iter:
-        cur.append(r)
-        bp += len(r[1])
-        if bp >= batch_size:
-            yield cur
-            cur, bp = [], 0
-    if cur:
-        yield cur
+        mini.append(r)
+        mini_bp += len(r[1])
+        if mini_bp >= mbs:
+            if part and part_bp > batch_size:
+                yield part
+                part, part_bp = [], 0
+            part.extend(mini)
+            part_bp += mini_bp
+            mini, mini_bp = [], 0
+    if mini:
+        if part and part_bp > batch_size:
+            yield part
+            part, part_bp = [], 0
+        part.extend(mini)
+    if part:
+        yield part
 
 
 def overlap_run(target_iter, query_reads, cfg: OverlapConfig,

@@ -100,3 +100,35 @@ def test_device_overlap_matches_host():
     host_rows = overlap_run(list(reads), queries, cfg)
     dev_rows = overlap_run_device(list(reads), queries, cfg)
     assert dev_rows == host_rows
+
+
+@pytest.mark.slow
+def test_multipart_index_matches_reference(tmp_path):
+    """-I multi-part indexing: per-part mapping with cross-part
+    accumulator merging must match the reference binary."""
+    exe = _binary()
+    if exe is None:
+        pytest.skip("reference binary unavailable")
+    rng = np.random.RandomState(77)
+    genome = make_genome(rng, 18000)
+    reads = sample_reads(rng, genome, 50, min_len=700, max_len=2000,
+                         err=0.12, junk_frac=0.1)
+    queries = reads[:15]
+    target_fq = str(tmp_path / "t.fq")
+    query_fq = str(tmp_path / "q.fq")
+    write_fastq_file(target_fq, reads)
+    write_fastq_file(query_fq, queries)
+    # ~3 parts
+    total_bp = sum(len(r[1]) for r in reads)
+    bsz = total_bp // 3
+    ref_rows = _run_ref(
+        exe, ["-Y", "-l", "0", "-q", "160", "-p", "80", "-k", "12",
+              "-w", "5", "-I", str(bsz), "-t", "1"],
+        target_fq, query_fq, str(tmp_path / "cov.txt"))
+    cfg = OverlapConfig(
+        index=IndexOpt(k=12, w=5, batch_size=bsz),
+        map=MapOpt(min_score_med=80, min_score_good=160),
+        flt=FltOpt(min_ovlp=0),
+    )
+    got_rows = overlap_run(list(reads), queries, cfg)
+    assert got_rows == ref_rows
