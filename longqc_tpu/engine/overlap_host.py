@@ -85,6 +85,31 @@ class MinimizerIndex:
             return int(self.starts[i]), int(self.counts[i])
         return 0, 0
 
+    def save(self, path):
+        """Persist the index (the -d index-dump equivalent; our cache
+        format is npz rather than the reference's MMI)."""
+        np.savez_compressed(
+            path, h=self.h, rid=self.rid, ps=self.ps,
+            seq_lens=self.seq_lens,
+            names=np.array(self.names, dtype=object))
+
+    @classmethod
+    def load(cls, path):
+        z = np.load(path, allow_pickle=True)
+        idx = cls.__new__(cls)
+        idx.h = z["h"]
+        idx.rid = z["rid"]
+        idx.ps = z["ps"]
+        idx.seq_lens = z["seq_lens"]
+        idx.names = list(z["names"])
+        idx.uniq, idx.starts = np.unique(idx.h, return_index=True)
+        idx.counts = np.diff(np.append(idx.starts, len(idx.h)))
+        uniq_names = sorted(set(idx.names))
+        idx.name_rank = {n: i for i, n in enumerate(uniq_names)}
+        idx.rid_rank = np.array([idx.name_rank[n] for n in idx.names],
+                                np.int64)
+        return idx
+
 
 def _len_bucket(n):
     """Round up to a power of four (min 4096): compile cost dominates on
@@ -688,3 +713,16 @@ def overlap_run(target_iter, query_reads, cfg: OverlapConfig,
             rows.append("%s\t%d\t%d\t0\t0\t0.0\t%s\t%s\t0.0" % (
                 qname, qlen, st.lam, format_f3(meanq), format_f3(div)))
     return rows
+
+
+def aggregate_minimizer_counts(q_sketches, states):
+    """-z minimizer-count aggregation (minimap2-coverage.c:478-543):
+    sum per-minimizer match counts over all queries keyed by minimizer
+    hash; returns counts sorted descending (what the reference computes
+    in its paper-revision debug mode)."""
+    totals = {}
+    for sk, st in zip(q_sketches, states):
+        h = np.asarray(sk[0], np.uint64)
+        for hh, c in zip(h.tolist(), st.m_cnts.tolist()):
+            totals[hh] = totals.get(hh, 0) + int(c)
+    return np.sort(np.array(list(totals.values()), np.int64))[::-1]

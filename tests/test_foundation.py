@@ -99,3 +99,16 @@ def test_read_gc():
     _, frac = read_gc_frac_batch(batch.codes, batch.lengths)
     assert math.isclose(float(frac[0]), 0.5)
     assert math.isclose(float(frac[1]), 0.5)
+
+
+def test_index_save_load(tmp_path):
+    from longqc_tpu.engine.overlap_host import build_index, MinimizerIndex
+    reads = [["a", "ACGTACGTTTACGGACTTACGATCGATTACGAT" * 4, "!"],
+             ["b", "TTGGCCAACTGGTTAAGGCCAACCTTGGAACC" * 4, "!"]]
+    idx = build_index(reads, 12, 5)
+    p = str(tmp_path / "idx.npz")
+    idx.save(p)
+    idx2 = MinimizerIndex.load(p)
+    assert (idx2.h == idx.h).all()
+    assert idx2.names == idx.names
+    assert idx2.mid_occ(2e-4) == idx.mid_occ(2e-4)
