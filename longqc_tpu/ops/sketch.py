@@ -35,14 +35,21 @@ UINT64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def hash64(key, mask):
-    """Invertible minimizer hash (cf. sketch.c:27-37), uint64 lanes."""
-    key = (~key + (key << np.uint64(21))) & mask
-    key = key ^ (key >> np.uint64(24))
-    key = ((key + (key << np.uint64(3))) + (key << np.uint64(8))) & mask
-    key = key ^ (key >> np.uint64(14))
-    key = ((key + (key << np.uint64(2))) + (key << np.uint64(4))) & mask
-    key = key ^ (key >> np.uint64(28))
-    key = (key + (key << np.uint64(31))) & mask
+    """Invertible minimizer hash (cf. sketch.c:27-37).
+
+    Dtype-generic: for 2k <= 30 the masked arithmetic wraps identically
+    in uint32 lanes (every step re-masks, and mod-2^32 wrapping
+    preserves the masked value), so the main presets (k = 12, 15) avoid
+    u64 entirely — u64 compute/transfer is pathologically slow on the
+    attached TPU runtime."""
+    dt = key.dtype.type
+    key = (~key + (key << dt(21))) & mask
+    key = key ^ (key >> dt(24))
+    key = ((key + (key << dt(3))) + (key << dt(8))) & mask
+    key = key ^ (key >> dt(14))
+    key = ((key + (key << dt(2))) + (key << dt(4))) & mask
+    key = key ^ (key >> dt(28))
+    key = (key + (key << dt(31))) & mask
     return key
 
 
@@ -50,10 +57,11 @@ def _sliding_rightmost_min(x, w):
     """For each s: (value, index) of the rightmost minimum over the
     window [s-w+1, s] (out-of-range treated as +inf).
 
-    x: (..., L) uint64. Returns (vals, idxs) of same shape.
+    x: (..., L) unsigned ints. Returns (vals, idxs) of same shape.
     Uses shift-and-combine doubling: O(log w) vector steps.
     """
     L = x.shape[-1]
+    UMAX = jnp.array(jnp.iinfo(x.dtype).max, x.dtype)
     idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), x.shape)
     vals, idxs = x, idx
     # combine semantics: prefer smaller value; on tie prefer larger index.
@@ -64,7 +72,7 @@ def _sliding_rightmost_min(x, w):
         si = jnp.roll(idxs, step, axis=-1)
         pos = jnp.arange(L, dtype=jnp.int32)
         ok = (pos >= step)
-        sv = jnp.where(ok, sv, UINT64_MAX)
+        sv = jnp.where(ok, sv, UMAX)
         si = jnp.where(ok, si, -1)
         # current (vals) is the right/tie-preferred side
         take_shift = sv < vals
@@ -93,8 +101,16 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
     """
     assert 0 < w < 256 and 0 < k <= 28
     B, L = codes.shape
-    mask = jnp.uint64((1 << (2 * k)) - 1)
-    c = codes.astype(jnp.uint64)
+    # u32 fast path: for 2k <= 30 (all main presets) hash values stay
+    # below the u32 sentinel and every masked step wraps identically,
+    # so no u64 touches the device (u64 is pathologically slow on the
+    # attached TPU runtime). HPC (varying spans) keeps the packed-u64
+    # path; it only ever runs on the 5000-read sample.
+    use_u32 = (2 * k <= 30) and (spans is None)
+    U = jnp.uint32 if use_u32 else jnp.uint64
+    UMAX = (jnp.uint32(0xFFFFFFFF) if use_u32 else UINT64_MAX)
+    mask = U((1 << (2 * k)) - 1)
+    c = codes.astype(U)
     valid = codes < 4
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     in_read = pos < lengths[:, None]
@@ -102,30 +118,31 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
 
     # --- k-mers roll over the valid-base subsequence (C registers skip
     # ambiguous bases and are never cleared): compact valid bases.
+    # TPU scatters serialize, so compactions use one argsort (stable,
+    # keys place valid positions first in order) + gathers.
     vcount = jnp.cumsum(valid, axis=1)          # 1-based rank among valid
-    # scatter codes into compacted array
-    vidx = jnp.where(valid, vcount - 1, L)      # target slot (L = dropped)
-    cval = jnp.where(valid, c, 0)
-    cv = jnp.zeros((B, L + 1), jnp.uint64)
-    cv = jax.vmap(lambda a, i, v: a.at[i].set(v))(cv, vidx, cval)
-    cv = cv[:, :L]
     n_valid = vcount[:, -1]
+    pos_of_vrank = jnp.argsort(
+        jnp.where(valid, pos, L + pos).astype(jnp.int32), axis=1)
+    cval = jnp.where(valid, c, 0)
+    cv = jnp.take_along_axis(cval, pos_of_vrank, axis=1)
 
     # forward/reverse k-mer registers at each valid-space position
-    kf = jnp.zeros((B, L), jnp.uint64)
-    kr = jnp.zeros((B, L), jnp.uint64)
-    shift1 = np.uint64(2 * (k - 1))
+    ud = U
+    kf = jnp.zeros((B, L), ud)
+    kr = jnp.zeros((B, L), ud)
+    dt = np.uint32 if use_u32 else np.uint64
+    shift1 = dt(2 * (k - 1))
     vpos = jnp.arange(L, dtype=jnp.int32)[None, :]
     for j in range(k):
-        # base entering j steps before current: fwd contributes at
-        # bit 2j from the bottom... (C: kmer[0] = kmer[0]<<2 | c, so the
-        # newest base (age 0) sits in the low bits)
+        # base entering j steps before current: the newest base (age 0)
+        # sits in the low bits (C: kmer[0] = kmer[0]<<2 | c)
         sh = jnp.pad(cv, ((0, 0), (j, 0)))[:, :L]
         present = vpos >= j  # before the first k bases the register is 0
-        kf = kf | jnp.where(present, sh << jnp.uint64(2 * j), 0)
+        kf = kf | jnp.where(present, sh << dt(2 * j), 0)
         kr = kr | jnp.where(present,
-                            ((jnp.uint64(3) ^ sh) & jnp.uint64(3))
-                            << (shift1 - jnp.uint64(2 * j)), 0)
+                            ((dt(3) ^ sh) & dt(3))
+                            << (shift1 - dt(2 * j)), 0)
     kf = kf & mask
     kr = kr & mask
     vspace = jnp.arange(L, dtype=jnp.int32)[None, :] < n_valid[:, None]
@@ -135,29 +152,17 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
 
     hash_v = hash64(kmin, mask)  # span packed later, in read space
 
-    # --- map back to read space; build the S (buffer-entry) sequence:
-    # every read position except symmetric-k-mer positions.
-    # valid-space entry t lives at read position rpos_v[t].
+    # --- map back to read space (the inverse of the compaction is a
+    # gather through each position's valid-rank): arr_r[i] =
+    # arr_v[vcount[i]-1] where valid.
     rpos = jnp.broadcast_to(pos, (B, L))
-    rpos_v = jnp.full((B, L + 1), L, jnp.int32)
-    rpos_v = jax.vmap(lambda a, i, v: a.at[i].set(v))(
-        rpos_v, vidx, jnp.broadcast_to(pos, (B, L)))
-    rpos_v = rpos_v[:, :L]
-
-    # read-space symmetric mask (scatter sym back)
-    sym_r = jnp.zeros((B, L + 1), bool)
-    sym_r = jax.vmap(lambda a, i, v: a.at[i].set(v))(
-        sym_r, jnp.where(vspace, rpos_v, L), sym)
-    sym_r = sym_r[:, :L]
-    # read-space per-position hash/strand (only meaningful where valid)
-    hash_r = jnp.full((B, L + 1), UINT64_MAX, jnp.uint64)
-    hash_r = jax.vmap(lambda a, i, v: a.at[i].set(v))(
-        hash_r, jnp.where(vspace, rpos_v, L), hash_v)
-    hash_r = hash_r[:, :L]
-    strand_r = jnp.zeros((B, L + 1), jnp.int32)
-    strand_r = jax.vmap(lambda a, i, v: a.at[i].set(v))(
-        strand_r, jnp.where(vspace, rpos_v, L), strand_v)
-    strand_r = strand_r[:, :L]
+    vr = jnp.clip(vcount - 1, 0, L - 1)
+    sym_r = jnp.take_along_axis(sym, vr, axis=1) & valid
+    hash_r = jnp.where(valid,
+                       jnp.take_along_axis(hash_v, vr, axis=1),
+                       UMAX)
+    strand_r = jnp.where(valid,
+                         jnp.take_along_axis(strand_v, vr, axis=1), 0)
 
     is_S = in_read & ~sym_r
     # l counter: +1 at valid non-symmetric, reset to 0 at ambiguous.
@@ -171,42 +176,51 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
     run_base = jax.lax.associative_scan(jnp.maximum, amb_cum, axis=1)
     l_r = cum_inc - run_base
 
-    # --- compact S-space arrays
+    # --- compact S-space arrays (argsort + gathers, as above)
     s_rank = jnp.cumsum(is_S, axis=1)
-    sidx = jnp.where(is_S, s_rank - 1, L)
     n_S = s_rank[:, -1]
+    pos_of_srank = jnp.argsort(
+        jnp.where(is_S, pos, L + pos).astype(jnp.int32), axis=1)
 
     def compact(arr, fill):
-        out = jnp.full((B, L + 1), fill, arr.dtype)
-        out = jax.vmap(lambda a, i, v: a.at[i].set(v))(out, sidx, arr)
-        return out[:, :L]
+        return jnp.take_along_axis(arr, pos_of_srank, axis=1)
 
-    if spans is None:
-        span_r = jnp.full((B, L), k, jnp.int32)
-    else:
-        span_r = spans.astype(jnp.int32)
     if positions is not None:
         rpos = positions.astype(jnp.int32)
-    eligible = valid & (l_r >= k) & (span_r < 256) & (span_r > 0)
-    packed_r = ((hash_r << jnp.uint64(8))
-                | span_r.astype(jnp.uint64) & jnp.uint64(0xFF))
-    xs = compact(jnp.where(eligible, packed_r, UINT64_MAX), UINT64_MAX)
+    if use_u32:
+        # constant span (== k): ordering by bare hash equals ordering
+        # by the packed key, so no packing is needed
+        eligible = valid & (l_r >= k)
+        packed_r = hash_r
+    else:
+        span_r = spans.astype(jnp.int32)
+        eligible = valid & (l_r >= k) & (span_r < 256) & (span_r > 0)
+        packed_r = ((hash_r << jnp.uint64(8))
+                    | span_r.astype(jnp.uint64) & jnp.uint64(0xFF))
+    xs = compact(jnp.where(eligible, packed_r, UMAX), UMAX)
     ys_pos = compact(jnp.where(valid, rpos, 0), 0)
     ys_strand = compact(strand_r, 0)
     ls = compact(l_r, 0)
     sspace = jnp.arange(L, dtype=jnp.int32)[None, :] < n_S[:, None]
-    xs = jnp.where(sspace, xs, UINT64_MAX)
+    xs = jnp.where(sspace, xs, UMAX)
 
     # --- rightmost sliding minima
     wx, widx = _sliding_rightmost_min(xs, w)
 
-    # --- rule A: reigns and pushes
+    # --- rule A: reigns and pushes. reign_end[p] = last s with
+    # wmin_idx[s] == p; s - p < w, so w shifted compares replace a
+    # scatter-max.
     sarange = jnp.arange(L, dtype=jnp.int32)[None, :]
-    valid_tracked = (wx != UINT64_MAX) & sspace
-    scatter_src = jnp.where(valid_tracked, sarange, -1)
-    scatter_tgt = jnp.where(valid_tracked, widx, L)
-    reign_end = jax.vmap(lambda a, i, v: a.at[i].max(v, mode="drop"))(
-        jnp.full((B, L), -1, jnp.int32), scatter_tgt, scatter_src)
+    valid_tracked = (wx != UMAX) & sspace
+    widx_eff = jnp.where(valid_tracked, widx, -1)
+    reign_end = jnp.full((B, L), -1, jnp.int32)
+    for d in range(w):
+        # widx at position p + d (shift left by d, pad with -1)
+        shifted = jnp.pad(widx_eff, ((0, 0), (0, d)),
+                          constant_values=-1)[:, d:]
+        hit = shifted == sarange
+        reign_end = jnp.maximum(reign_end,
+                                jnp.where(hit, sarange + d, -1))
 
     has_reign = reign_end >= 0
     e = reign_end
@@ -217,17 +231,19 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
     final_push = has_reign & (e == n_s - 1)
     replace_push = has_reign & (e < n_s - 1) & (x_next <= xs) & (l_next >= w + k)
     disp_push = has_reign & (e < n_s - 1) & (x_next > xs) & (l_next >= w + k - 1)
-    emitA = (final_push | replace_push | disp_push) & (xs != UINT64_MAX)
+    emitA = (final_push | replace_push | disp_push) & (xs != UMAX)
 
     # --- rules B and C per offset d in [1, w-1]
     countB = jnp.zeros((B, L), jnp.int32)
     countC = jnp.zeros((B, L), jnp.int32)
     # displacement step flags per s
+    pad_max = (np.uint32(0xFFFFFFFF) if use_u32
+               else np.uint64(0xFFFFFFFFFFFFFFFF))
     wx_prev = jnp.pad(wx, ((0, 0), (1, 0)),
-                      constant_values=UINT64_MAX)[:, :L]
+                      constant_values=pad_max)[:, :L]
     widx_prev = jnp.pad(widx, ((0, 0), (1, 0)), constant_values=-1)[:, :L]
     disp_step = ((widx_prev == sarange - w) & (xs > wx_prev)
-                 & (wx_prev != UINT64_MAX) & sspace & (sarange >= 1))
+                 & (wx_prev != UMAX) & sspace & (sarange >= 1))
     is_t0 = (ls == w + k - 1) & sspace
 
     for d in range(1, w):
@@ -238,7 +254,7 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
         b_hit = (jnp.take_along_axis(is_t0, t0, axis=1)
                  & (xs == jnp.take_along_axis(wx, t0m1, axis=1))
                  & (jnp.take_along_axis(widx, t0m1, axis=1) != sarange)
-                 & (xs != UINT64_MAX) & valid_off)
+                 & (xs != UMAX) & valid_off)
         countB = countB + b_hit.astype(jnp.int32)
         # C: s = p + d
         s_ = t0
@@ -246,7 +262,7 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
                  & (jnp.take_along_axis(ls, s_, axis=1) >= w + k - 1)
                  & (xs == jnp.take_along_axis(wx, s_, axis=1))
                  & (jnp.take_along_axis(widx, s_, axis=1) != sarange)
-                 & (xs != UINT64_MAX) & valid_off)
+                 & (xs != UMAX) & valid_off)
         countC = countC + c_hit.astype(jnp.int32)
 
     emit = emitA.astype(jnp.int32) + countB + countC
@@ -259,22 +275,33 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
     }
 
 
-def sketch_to_lists(res):
+def sketch_to_lists(res, k=None):
     """Host-side compaction of sketch_batch output into per-read
     (hash, pos, strand, span) numpy arrays in position order with
-    multiplicity. `hash` is the bare minimizer hash (packed key >> 8)."""
+    multiplicity. The u32 fast path stores bare hashes (span == k,
+    required as an argument); the u64/HPC path stores hash<<8|span."""
     emit = np.asarray(res["emit"])
     hsh = np.asarray(res["hash"])
     pos = np.asarray(res["pos"])
     strand = np.asarray(res["strand"])
+    packed = hsh.dtype == np.uint64
+    if not packed:
+        assert k is not None, "u32 sketch output needs k for spans"
     out = []
     for b in range(emit.shape[0]):
         idx = np.nonzero(emit[b] > 0)[0]
         rep = np.repeat(idx, emit[b][idx])
-        out.append((hsh[b][rep] >> np.uint64(8),
-                    pos[b][rep].astype(np.int64),
-                    strand[b][rep].astype(np.int64),
-                    (hsh[b][rep] & np.uint64(0xFF)).astype(np.int64)))
+        hh = hsh[b][rep]
+        if packed:
+            out.append((hh >> np.uint64(8),
+                        pos[b][rep].astype(np.int64),
+                        strand[b][rep].astype(np.int64),
+                        (hh & np.uint64(0xFF)).astype(np.int64)))
+        else:
+            out.append((hh.astype(np.uint64),
+                        pos[b][rep].astype(np.int64),
+                        strand[b][rep].astype(np.int64),
+                        np.full(len(hh), k, np.int64)))
     return out
 
 
@@ -300,31 +327,38 @@ def sketch_batch_compact(codes, lengths, *, w, k, m_max,
     emit = res["emit"]
     has = emit > 0
     rank = jnp.cumsum(has, axis=1)
-    slot = jnp.where(has, rank - 1, m_max)
-    slot = jnp.minimum(slot, m_max)  # overflow entries land in the trash
-    keys = jnp.full((B, m_max + 1), UINT64_MAX, jnp.uint64)
-    keys = jax.vmap(lambda a, i, v: a.at[i].set(v))(keys, slot, res["hash"])
+    n_slots = rank[:, -1]
+    posl = jnp.arange(L, dtype=jnp.int32)[None, :]
+    order = jnp.argsort(jnp.where(has, posl, L + posl).astype(jnp.int32),
+                        axis=1)[:, :m_max]
+    keys = jnp.take_along_axis(res["hash"], order, axis=1)
     # count field: emissions per entry can reach ~w; 4 bits suffices
     # for all supported presets (w <= 10)
     meta_src = ((res["pos"] << 5) | (res["strand"] << 4)
                 | jnp.minimum(emit, 15))
-    meta = jnp.zeros((B, m_max + 1), jnp.int32)
-    meta = jax.vmap(lambda a, i, v: a.at[i].set(v))(meta, slot, meta_src)
-    n_slots = rank[:, -1]
+    meta = jnp.take_along_axis(meta_src, order, axis=1)
+    valid_slot = jnp.arange(m_max, dtype=jnp.int32)[None, :] \
+        < jnp.minimum(n_slots, m_max)[:, None]
+    keys = jnp.where(valid_slot, keys,
+                     np.array(np.iinfo(keys.dtype).max, keys.dtype))
+    meta = jnp.where(valid_slot, meta, 0)
     return {
-        "keys": keys[:, :m_max],
-        "meta": meta[:, :m_max],
+        "keys": keys,
+        "meta": meta,
         "n_slots": jnp.minimum(n_slots, m_max),
         "overflow": n_slots > m_max,
     }
 
 
-def compact_to_lists(res):
+def compact_to_lists(res, k=None):
     """Host expansion of sketch_batch_compact output into per-read
     (hash, pos, strand, span) arrays (sketch_to_lists contract)."""
     keys = np.asarray(res["keys"])
     meta = np.asarray(res["meta"])
     n_slots = np.asarray(res["n_slots"])
+    packed = keys.dtype == np.uint64
+    if not packed:
+        assert k is not None, "u32 sketch output needs k for spans"
     out = []
     for b in range(keys.shape[0]):
         n = int(n_slots[b])
@@ -335,8 +369,14 @@ def compact_to_lists(res):
             rep = np.repeat(np.arange(n), cnt)
             kk = kk[rep]
             mm = mm[rep]
-        out.append((kk >> np.uint64(8),
-                    (mm >> 5).astype(np.int64),
-                    ((mm >> 4) & 1).astype(np.int64),
-                    (kk & np.uint64(0xFF)).astype(np.int64)))
+        if packed:
+            out.append((kk >> np.uint64(8),
+                        (mm >> 5).astype(np.int64),
+                        ((mm >> 4) & 1).astype(np.int64),
+                        (kk & np.uint64(0xFF)).astype(np.int64)))
+        else:
+            out.append((kk.astype(np.uint64),
+                        (mm >> 5).astype(np.int64),
+                        ((mm >> 4) & 1).astype(np.int64),
+                        np.full(len(kk), k, np.int64)))
     return out

@@ -86,7 +86,7 @@ def sketch_reads_hpc(reads, k, w, batch_size=128):
                 lengths[slot] = len(c)
             res = sketch_batch(codes, lengths, w=w, k=k,
                                positions=positions, spans=spans)
-            lists = sketch_to_lists(res)
+            lists = sketch_to_lists(res)  # HPC path: packed u64
             for slot, i in enumerate(sel):
                 out[i] = lists[slot]
     return out

@@ -15,7 +15,7 @@ def _run_case(seqs, w, k):
     batch = pack_reads(reads)
     res = sketch_batch(np.asarray(batch.codes), np.asarray(batch.lengths),
                        w=w, k=k)
-    got = sketch_to_lists(res)
+    got = sketch_to_lists(res, k)
     for i, s in enumerate(seqs):
         ref = ref_sketch(s, w, k)
         # compare as position-sorted multisets of (hash, pos, strand)
