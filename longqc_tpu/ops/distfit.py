@@ -145,3 +145,33 @@ def estimate_gamma_dist(vals):
     alpha, _loc, beta = scipy_gamma.fit(np.asarray(vals, np.float64),
                                         floc=0.0)
     return alpha, beta
+
+
+def estimate_gamma_dist_minka(vals, tol=1e-6):
+    """Minka (2002) fixed-point gamma estimation (cf. the reference's
+    hand-rolled estimator, lq_gamma.py:21-44; unused by its main path
+    but part of the module surface)."""
+    from scipy import special
+    from scipy.stats import dgamma
+
+    v = np.asarray(vals, np.float64)
+    mean_v = np.mean(v)
+    mean_log = np.mean(np.log(v))
+    a = 0.5 / (np.log(mean_v) - mean_log)
+    b = mean_v / a
+
+    def ll(a_, b_):
+        return np.sum(np.log(dgamma.pdf(v, a_, loc=0, scale=1 / b_)))
+
+    eps = np.inf
+    ll_p = ll(a, b)
+    while eps > tol:
+        inv = 1 / a + ((mean_log - special.polygamma(0, a)
+                        - np.log(mean_v) + np.log(a))
+                       / (a ** 2 * (1 / a - special.polygamma(1, a))))
+        a = 1 / inv
+        b = mean_v / a
+        ll_n = ll(a, b)
+        eps = abs(ll_n - ll_p)
+        ll_p = ll_n
+    return a, b

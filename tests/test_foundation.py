@@ -112,3 +112,14 @@ def test_index_save_load(tmp_path):
     assert (idx2.h == idx.h).all()
     assert idx2.names == idx.names
     assert idx2.mid_occ(2e-4) == idx.mid_occ(2e-4)
+
+
+def test_gamma_fits():
+    from longqc_tpu.ops.distfit import (estimate_gamma_dist,
+                                        estimate_gamma_dist_minka)
+    rng = np.random.RandomState(5)
+    vals = rng.gamma(2.0, 3000.0, size=4000)
+    a1, b1 = estimate_gamma_dist(vals)
+    assert abs(a1 - 2.0) < 0.25
+    a2, b2 = estimate_gamma_dist_minka(vals)
+    assert abs(a2 - 2.0) < 0.25
