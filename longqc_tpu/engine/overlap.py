@@ -21,7 +21,7 @@ from longqc_tpu.ops.chain import (backtrack_chains, chain_dp_batch,
 
 logger = getLogger(__name__)
 
-_GROUP_Q = 16     # device batch rows per DP call
+_GROUP_Q = 64     # device batch rows per DP call
 _CHUNK_A = 2048   # anchors per chunk (single compiled shape)
 
 
