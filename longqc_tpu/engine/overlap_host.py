@@ -636,7 +636,7 @@ def overlap_run(target_iter, query_reads, cfg: OverlapConfig,
                              m.min_cnt, m.min_chain_score)
                     for ax, ay in anchor_sets]
 
-    group_size = 64
+    group_size = 128  # one full lane width for the fused chain kernel
     for part in iter_index_parts(target_iter, cfg.index.batch_size):
         index = build_index(part, k, w, is_hpc=cfg.index.is_hpc)
         mid_occ = cfg.map.mid_occ or index.mid_occ(cfg.map.mid_occ_frac)
