@@ -30,13 +30,14 @@ _CHUNK_A = 2048     # anchors per chunk (single compiled shape)
 
 
 def _use_pallas():
-    """Fused Pallas kernel on real TPU; lax.scan elsewhere (CPU tests).
+    """Fused Pallas kernel on real TPU; lax.scan elsewhere (CPU tests,
+    GPU and other backends where pltpu primitives would fail to lower).
     Override with LONGQC_CHAIN_KERNEL=pallas|scan."""
     env = os.environ.get("LONGQC_CHAIN_KERNEL", "")
     if env in ("pallas", "scan"):
         return env == "pallas"
     import jax
-    return jax.default_backend() not in ("cpu",)
+    return jax.default_backend() == "tpu"
 
 
 class DeviceChainer:

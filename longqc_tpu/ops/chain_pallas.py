@@ -48,6 +48,10 @@ def penalty_limbs(avg_qspan, bw):
     """(5,) int32 16-bit limbs of M (lsb-first; floor(dd*M >> 64) equals
     the reference linear gap cost for all dd in [0, bw]), or None when
     no single multiplier reproduces the table (host fallback)."""
+    if bw >= 32768:
+        # int32 limb product ddc*l_j can overflow past 2^31 for
+        # bw >= 2^15: punt to the exact host fallback
+        return None
     tab = gap_penalty_table(np.float32(avg_qspan), bw).astype(np.int64)
     dd = np.arange(bw + 1)
     log_dd = np.zeros(bw + 1, np.int64)
@@ -323,6 +327,7 @@ def chain_dp_batch_pallas(ax_hi, ax_lo, aq, aspan, n_anchors, limbs,
     values to the scan version's carry; chunked and monolithic calls
     compose identically (differentially tested).
     """
+    assert J == 64, "mark bitmask words and _iscan are specialized to J=64"
     f, p, v, *rest = _chain_dp_pallas_t(
         ax_hi.T, ax_lo.T, aq.T, aspan.T,
         n_anchors.reshape(1, -1), limbs, row_bad, carry_t,

@@ -20,7 +20,8 @@ def test_pallas_chainer_rows_match_host():
                         flt=FltOpt(min_ovlp=0))
     rows_host = oh.overlap_run(list(reads), queries, cfg)
     chainer = DeviceChainer(use_pallas=True)
-    assert chainer.interpret  # CPU test platform -> interpreter
+    # on a CPU test platform the kernel runs interpreted; on a real TPU
+    # it runs compiled — both paths must match the host rows
     rows_pl = oh.overlap_run(list(reads), queries, cfg,
                              chain_many=chainer)
     assert rows_pl == rows_host
