@@ -1,0 +1,996 @@
+"""Device-resident overlap-coverage engine (the round-2 hot path).
+
+The round-1 engine kept the minimizer index and all chain bookkeeping on
+the host, shipping anchors and DP tables across the host<->device link
+per query group — on the attached tunnel (~10 MB/s device->host) that
+dominated wall clock. This engine keeps the whole per-part pipeline on
+device and pulls only O(queries) bytes per call:
+
+  part reads --pack/push--> sketch kernel --> flat (hash, rid, pos)
+    --> multi-key lax.sort index + weighted occurrence prefix  [device]
+  per query group (Q=128 lanes):
+    searchsorted seed lookup -> weighted anchor expansion -> per-row
+    stable sort -> fused Pallas chain DP -> peak + min-rank ring passes
+    (ops/ringprop; chain extraction per ops/chainsel's closed form) ->
+    reg geometry + lambda/lambda2/m_cnts accounting + interval
+    compression (lq_cnt_match + filter_redundant_coords semantics)
+    entirely on device; the call returns the compressed interval events
+    (a few KB) and tiny per-row stats.
+
+Exactness contract: rows are bit-identical to engine/overlap_host
+(itself row-identical to the reference binaries). Any situation the
+device math cannot reproduce exactly — chain-DP ring truncation or
+max_skip fixpoint disagreement, m_cnts uint16 saturation, interval
+buffer overflow, an overhang-ratio comparison within f64 rounding
+distance of the threshold — raises a per-(row, part) flag; the flagged
+row's state update is discarded and recomputed by the host spec for
+that part while the part's reads are still in memory.
+
+Behavioral citations as in overlap_host.py: index.c:69-144 (index +
+occurrence threshold), lqmap.c:140-205 (seed collection), chain.c:22-157
+(chain DP + extraction), esterr.c:72-140 (coverage accounting),
+lqmap.c:25-100 (interval compression), minimap2-coverage.c:545-617
+(output rows).
+"""
+
+import functools
+import math
+from bisect import bisect_left
+from dataclasses import dataclass
+from logging import getLogger
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from longqc_tpu.config import OverlapConfig
+from longqc_tpu.engine import overlap_host as oh
+from longqc_tpu.io.pack import pack_reads
+from longqc_tpu.ops.chain_pallas import (_chain_dp_pallas_t,
+                                         make_carry_pallas, penalty_limbs)
+from longqc_tpu.ops.quality import mean_q_host
+from longqc_tpu.ops.ringprop import INF32, minrank_pass, peak_pass
+from longqc_tpu.ops.sketch import sketch_batch
+
+logger = getLogger(__name__)
+
+GROUP_Q = 128          # query lanes per step call
+J = 64                 # chain-DP ring depth (ops/chain_pallas)
+CV = 512               # max accepted chains per (row, part) call
+EOUT = 4 * CV          # max emitted interval events per call
+A_BUCKETS = (2048, 8192, 32768, 131072)
+
+# flag bits (per row, per call)
+F_KERNEL = 1           # chain kernel truncation / max_skip disagreement
+F_SAT = 2              # m_cnts approaching uint16 saturation
+F_CV = 4               # more accepted chains than CV
+F_GEOM = 8             # overhang-ratio compare within f64 rounding noise
+F_ANCH = 16            # anchors exceed the largest A bucket
+F_EXP = 32             # expanded minimizers exceed M2
+
+
+def _ratio_limbs(min_ratio):
+    """Exact dyadic representation p/2^s of the f64 ratio, split into
+    27-bit limbs for the overflow-free integer comparison
+    a >= total*ratio (see _geom_ok)."""
+    p, q = float(min_ratio).as_integer_ratio()
+    s = q.bit_length() - 1
+    assert q == 1 << s and p >= 0
+    return int(p >> 27), int(p & ((1 << 27) - 1)), int(s)
+
+
+@dataclass(frozen=True)
+class StepStatic:
+    """Hashable static configuration of the step program."""
+    Q: int
+    M: int
+    M2: int
+    A: int
+    k: int
+    max_gap: int
+    bw: int
+    max_skip: int
+    min_cnt: int
+    min_sc: int
+    min_sc_m: int
+    min_sc_g: int
+    max_overhang: int
+    min_cov: int
+    covt: int
+    ava: bool
+    p_hi: int
+    p_lo: int
+    p_s: int
+    interpret: bool
+
+
+def _row_searchsorted(a, v, side="left"):
+    """Per-row searchsorted: a (Q, Na) sorted rows, v (Q, Nv)."""
+    return jax.vmap(lambda ar, vr: jnp.searchsorted(ar, vr, side=side))(a, v)
+
+
+def _seg_fill_last(mask, val, fill):
+    """Per row: at each position, the latest `val` at or before it where
+    mask is set (fill until the first set position)."""
+    Q, L = mask.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    lb = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(mask, pos, -1), axis=1)
+    safe = jnp.clip(lb, 0, L - 1)
+    out = jnp.take_along_axis(val, safe, axis=1)
+    return jnp.where(lb >= 0, out, fill)
+
+
+def _compact_rows(keys, payloads, width, fill_key):
+    """Per-row stable compaction: entries with key != fill_key move to
+    the front (in original order); returns truncated (Q, width) arrays
+    plus per-row valid counts."""
+    Q, L = keys.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    order_key = jnp.where(keys != fill_key, pos, INF32)
+    ops = jax.lax.sort((order_key, keys) + tuple(payloads),
+                       dimension=1, num_keys=1, is_stable=True)
+    n = jnp.sum(keys != fill_key, axis=1).astype(jnp.int32)
+    return ops[1][:, :width], [o[:, :width] for o in ops[2:]], n
+
+
+# ---------------------------------------------------------------------------
+# part index build
+
+
+@functools.partial(jax.jit, static_argnames=("M",))
+def _flatten_sketch(emit, hsh, pos, strand, global_ids, *, M):
+    """(B, L) sketch output -> per-row compacted flat (h, rid, ps, cnt)
+    int32 arrays of B*M slots (INF32 hash sentinels on empties), plus
+    per-row emitting-slot counts (for overflow detection when M < L;
+    duplicate emissions ride the cnt field, so n <= L always)."""
+    B, L = emit.shape
+    has = (emit > 0) & (global_ids[:, None] >= 0)
+    posl = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :],
+                            (B, L))
+    order = jnp.argsort(jnp.where(has, posl, INF32), axis=1)[:, :M]
+    n = jnp.sum(has, axis=1).astype(jnp.int32)
+    slot_on = jnp.arange(M, dtype=jnp.int32)[None, :] < \
+        jnp.minimum(n, M)[:, None]
+
+    def take(a):
+        return jnp.take_along_axis(a, order, axis=1)
+
+    h = jnp.where(slot_on, take(hsh.astype(jnp.uint32).astype(jnp.int32)),
+                  INF32)
+    rid = jnp.where(slot_on,
+                    jnp.broadcast_to(global_ids[:, None].astype(jnp.int32),
+                                     (B, M)), 0)
+    ps = jnp.where(slot_on,
+                   take((pos.astype(jnp.int32) << 1)
+                        | strand.astype(jnp.int32)), 0)
+    cnt = jnp.where(slot_on, take(emit.astype(jnp.int32)), 0)
+    return (h.reshape(-1), rid.reshape(-1), ps.reshape(-1),
+            cnt.reshape(-1), n)
+
+
+@jax.jit
+def _index_sort(h, rid, ps, cnt):
+    """Sort flat minimizer entries by (hash, rid, ps); compute the
+    weighted occurrence prefix and per-key weighted counts.
+
+    Equivalent to MinimizerIndex's np.lexsort + np.unique
+    (overlap_host.py:52-61), with duplicate emissions carried as per-
+    slot counts instead of repeated slots.
+    """
+    hs, rids, pss, cnts = jax.lax.sort((h, rid, ps, cnt), dimension=0,
+                                       num_keys=3, is_stable=False)
+    valid = hs != INF32
+    wsum = jnp.cumsum(cnts, axis=0).astype(jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), hs[:-1]])
+    is_start = valid & (hs != prev)
+    n_keys = jnp.sum(is_start).astype(jnp.int32)
+    N = h.shape[0]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    spos = jnp.sort(jnp.where(is_start, pos, INF32))
+    spos_next = jnp.concatenate([spos[1:], jnp.full((1,), INF32,
+                                                    jnp.int32)])
+    safe = jnp.clip(spos, 0, N - 1)
+    safe_next = jnp.clip(jnp.where(spos_next == INF32, N, spos_next),
+                         1, N)
+    w_before = jnp.where(safe > 0, wsum[jnp.clip(safe - 1, 0, N - 1)], 0)
+    w_end = wsum[safe_next - 1]
+    key_counts = jnp.where(spos != INF32, w_end - w_before, INF32)
+    return hs, rids, pss, wsum, key_counts, n_keys
+
+
+@jax.jit
+def _mid_occ_from_counts(key_counts, kth):
+    srt = jnp.sort(key_counts)
+    return jax.lax.dynamic_index_in_dim(srt, kth, 0, False) + 1
+
+
+# ---------------------------------------------------------------------------
+# query group preparation
+
+
+@functools.partial(jax.jit, static_argnames=("M2",))
+def _group_expand(qcnt, n_slots, *, M2):
+    """Expansion map from multiplicity counts: e_src[q, j] = slot index
+    of the j-th expanded sketch entry (M when j >= n_exp)."""
+    Q, M = qcnt.shape
+    slot_ok = jnp.arange(M, dtype=jnp.int32)[None, :] < n_slots[:, None]
+    ccum = jnp.cumsum(jnp.where(slot_ok, qcnt, 0), axis=1)
+    n_exp = ccum[:, -1].astype(jnp.int32)
+    j = jnp.broadcast_to(jnp.arange(M2, dtype=jnp.int32)[None, :],
+                         (Q, M2))
+    e_src = _row_searchsorted(ccum, j, side="right").astype(jnp.int32)
+    e_src = jnp.where(j < n_exp[:, None], e_src, M)
+    return e_src, n_exp
+
+
+# ---------------------------------------------------------------------------
+# the per-(part, group) programs
+
+
+def _lookup_occ(ih, iwsum, qh):
+    """Per sketch slot: weighted occurrence count and start offset into
+    the weighted expansion space."""
+    left = jnp.searchsorted(ih, qh, side="left").astype(jnp.int32)
+    right = jnp.searchsorted(ih, qh, side="right").astype(jnp.int32)
+    N = ih.shape[0]
+    w_before = jnp.where(left > 0, iwsum[jnp.clip(left - 1, 0, N - 1)], 0)
+    w_end = jnp.where(right > 0, iwsum[jnp.clip(right - 1, 0, N - 1)], 0)
+    return w_end - w_before, w_before
+
+
+@functools.partial(jax.jit, static_argnames=("st",))
+def _count_anchors(ih, iwsum, mid_occ, qh, e_src, st: StepStatic):
+    """Pre-drop anchor count per row (for A-bucket selection)."""
+    occ_slot, _ = _lookup_occ(ih, iwsum, qh)
+    occ_pad = jnp.concatenate(
+        [occ_slot, jnp.zeros((st.Q, 1), jnp.int32)], axis=1)
+    occ_e = jnp.take_along_axis(occ_pad, e_src, axis=1)
+    kept = (occ_e < mid_occ) & (e_src < st.M)
+    return jnp.sum(jnp.where(kept, occ_e, 0), axis=1).astype(jnp.int32)
+
+
+def _geom_ok(a, total, st: StepStatic):
+    """Exact integer evaluation of `a >= total * min_ratio` (numpy f64
+    semantics), plus a near-boundary mask where f64 rounding could
+    diverge (flagged for host fallback)."""
+    a64 = a.astype(jnp.int64)
+    t64 = total.astype(jnp.int64)
+    if st.p_s <= 27:
+        lhs = a64 << st.p_s
+        rhs = t64 * (st.p_hi * (1 << 27) + st.p_lo)
+        ok = lhs >= rhs
+        near = jnp.abs(lhs - rhs) <= 1
+        return ok, near
+    b1 = t64 * st.p_hi
+    b0 = t64 * st.p_lo
+    d = (a64 << (st.p_s - 27)) - b1
+    big = d >= (1 << 31)
+    neg = d < 0
+    mid = (jnp.clip(d, 0, (1 << 31) - 1) << 27) - b0
+    ok = big | (~neg & (mid >= 0))
+    thr = 1 << max(0, st.p_s - 20)
+    near = ~big & ~neg & (jnp.abs(mid) < thr)
+    return ok, near
+
+
+@functools.partial(jax.jit, static_argnames=("st",),
+                   donate_argnames=("lam", "lam2", "avgk_set", "m_cnts"))
+def _step(ih, irid, ips, iwsum, seq_lens, rid_rank, mid_occ,
+          qh, qpos, qstrand, e_src, n_exp, qlen, qrank, qbisect, qvalid,
+          lam, lam2, avgk_set, m_cnts, limbs5,
+          st: StepStatic):
+    """One (part x query-group) update. Returns committed state, interval
+    events (Q, EOUT) + counts, and per-row flags for this call."""
+    Q, M, M2, A = st.Q, st.M, st.M2, st.A
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Q, A), 0)
+    k32 = jnp.int32(st.k)
+
+    # --- seed lookup & kept-minimizer list (lqmap.c:140-205)
+    occ_slot, wstart_slot = _lookup_occ(ih, iwsum, qh)
+    pad1 = jnp.zeros((Q, 1), jnp.int32)
+    occ_e = jnp.take_along_axis(
+        jnp.concatenate([occ_slot, pad1], axis=1), e_src, axis=1)
+    wstart_e = jnp.take_along_axis(
+        jnp.concatenate([wstart_slot, pad1], axis=1), e_src, axis=1)
+    pos_e = jnp.take_along_axis(
+        jnp.concatenate([qpos, pad1], axis=1), e_src, axis=1)
+    strand_e = jnp.take_along_axis(
+        jnp.concatenate([qstrand, pad1], axis=1), e_src, axis=1)
+    e_valid = e_src < M
+    kept = e_valid & (occ_e < mid_occ)
+
+    # mini_pos: kept entries in position order (positions are
+    # non-decreasing in expansion order, so compaction preserves order)
+    mp_pos, _, n_kept = _compact_rows(
+        jnp.where(kept, pos_e, INF32), (), M2, INF32)
+    mp_pos = jnp.where(
+        jnp.arange(M2, dtype=jnp.int32)[None, :] < n_kept[:, None],
+        mp_pos, INF32)
+
+    # --- weighted anchor expansion
+    ce = jnp.cumsum(jnp.where(kept, occ_e, 0), axis=1)
+    n_q = ce[:, -1].astype(jnp.int32)
+    a_ids = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :],
+                             (Q, A))
+    e_of_a = _row_searchsorted(ce, a_ids, side="right").astype(jnp.int32)
+    ce_pad = jnp.concatenate([jnp.zeros((Q, 1), jnp.int32), ce], axis=1)
+    t_in_e = a_ids - jnp.take_along_axis(ce_pad, e_of_a, axis=1)
+    valid_a = a_ids < n_q[:, None]
+    e_clip = jnp.clip(e_of_a, 0, M2 - 1)
+    w0 = jnp.take_along_axis(wstart_e, e_clip, axis=1)
+    slot = jnp.searchsorted(iwsum, (w0 + t_in_e).reshape(-1),
+                            side="right").astype(jnp.int32).reshape(Q, A)
+    N = ih.shape[0]
+    slot = jnp.clip(slot, 0, N - 1)
+    rid_a = irid[slot]
+    ps_a = ips[slot]
+    rpos = ps_a >> 1
+    rstrand = ps_a & 1
+    qpos_a = jnp.take_along_axis(pos_e, e_clip, axis=1)
+    qstr_a = jnp.take_along_axis(strand_e, e_clip, axis=1)
+    fwd = rstrand == qstr_a
+    rev = jnp.where(fwd, 0, 1)
+
+    # NO_SELF / AVA suppression (lqmap.c:162-183)
+    rrank = rid_rank[jnp.clip(rid_a, 0, rid_rank.shape[0] - 1)]
+    drop = (rrank == qrank[:, None]) & (rpos == qpos_a)
+    if st.ava:
+        drop = drop | (rrank < qbisect[:, None])
+    live = valid_a & ~drop
+    key1 = jnp.where(live, (rev << 24) | rid_a, INF32)
+    key2 = jnp.where(live, rpos, INF32)
+    yq = jnp.where(fwd, qpos_a,
+                   qlen[:, None] - (qpos_a + 1 - k32) - 1)
+    yq = jnp.where(live, yq, 0)
+    n_anch = jnp.sum(live, axis=1).astype(jnp.int32)
+
+    key1, key2, yq = jax.lax.sort((key1, key2, yq), dimension=1,
+                                  num_keys=2, is_stable=True)
+
+    # --- fused chain DP (Pallas) + peak / min-rank ring passes
+    carry = tuple(jnp.asarray(c) for c in make_carry_pallas(Q, J))
+    limbs = jnp.broadcast_to(limbs5[:, None], (5, Q))
+    rbad = jnp.zeros((1, Q), jnp.int32)
+    kspan = jnp.full((A, Q), st.k, jnp.int32)
+    f_t, p_t, v_t, *rest = _chain_dp_pallas_t(
+        key1.T, key2.T, yq.T, kspan, n_anch.reshape(1, -1), limbs, rbad,
+        carry, jnp.int32(0), J=J, max_dist=st.max_gap, bw=st.bw,
+        max_skip=st.max_skip, interpret=st.interpret)
+    kflag = rest[-1].reshape(-1) != 0
+    p_t = jnp.where(p_t < -1, -1, p_t)
+    peak_t = peak_pass(f_t, v_t, p_t, J=J, interpret=st.interpret)
+    f, p, v, peak = f_t.T, p_t.T, v_t.T, peak_t.T
+
+    # --- chain candidates: ends -> unique peaks -> ranks (chainsel)
+    anch_on = a_ids < n_anch[:, None]
+    is_parent = jnp.zeros((Q, A), bool)
+    for d in range(1, J + 1):
+        pd = jnp.pad(p, ((0, 0), (0, d)), constant_values=-2)[:, d:]
+        is_parent = is_parent | (pd == a_ids)
+    endm = anch_on & ~is_parent & (v >= st.min_sc)
+    MAXI = jnp.int32(0x3FFFFFFF)
+    ek1 = jnp.where(endm, MAXI - v, INF32)
+    ek2 = jnp.where(endm, MAXI - peak, INF32)
+    ek1, ek2 = jax.lax.sort((ek1, ek2), dimension=1, num_keys=2,
+                            is_stable=False)
+    it_valid = ek1 != INF32
+    prev1 = jnp.pad(ek1, ((0, 0), (1, 0)), constant_values=-1)[:, :A]
+    prev2 = jnp.pad(ek2, ((0, 0), (1, 0)), constant_values=-1)[:, :A]
+    is_new = it_valid & ((ek1 != prev1) | (ek2 != prev2))
+    rank_it = jnp.cumsum(is_new, axis=1).astype(jnp.int32) - 1
+    peak_it = jnp.where(is_new, MAXI - ek2, A)
+    own = jnp.full((Q, A), INF32, jnp.int32)
+    own = own.at[rows, jnp.clip(peak_it, 0, A)].min(
+        jnp.where(is_new, rank_it, INF32), mode="drop")
+
+    mr = minrank_pass(p.T, own.T, J=J, interpret=st.interpret).T
+    mr = jnp.where(anch_on, mr, INF32)
+
+    # --- segment chains in (min-rank, idx) order; stable sort keeps idx
+    # ascending within a rank, so run start = root-most anchor and run
+    # end = peak
+    smr, sidx = jax.lax.sort(
+        (mr, a_ids), dimension=1, num_keys=1, is_stable=True)
+    s_valid = smr != INF32
+    prev_mr = jnp.pad(smr, ((0, 0), (1, 0)), constant_values=-1)[:, :A]
+    is_b = s_valid & (smr != prev_mr)
+    next_mr = jnp.pad(smr, ((0, 0), (0, 1)), constant_values=-1)[:, 1:]
+    is_last = s_valid & (smr != next_mr)
+    spos = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :],
+                            (Q, A))
+    first_pos = _seg_fill_last(is_b, spos, 0)
+    first_idx = _seg_fill_last(is_b, sidx, 0)
+    cnt = spos - first_pos + 1
+    # chain records live at is_last slots
+    pk_idx = sidx
+    score = jnp.take_along_axis(f, jnp.clip(pk_idx, 0, A - 1), axis=1)
+    stop = jnp.take_along_axis(p, jnp.clip(first_idx, 0, A - 1), axis=1)
+    f_stop = jnp.take_along_axis(f, jnp.clip(stop, 0, A - 1), axis=1)
+    score0 = jnp.where(stop >= 0, score - f_stop, score)
+    accept = is_last & (cnt >= st.min_cnt) & \
+        ((stop < 0) | (score0 >= st.min_sc))
+
+    # --- reg coordinates (hit.c:23-38 mm_reg_set_coor)
+    def gat(arr, idx):
+        return jnp.take_along_axis(arr, jnp.clip(idx, 0, A - 1), axis=1)
+
+    k1_f = gat(key1, first_idx)
+    c_rev = (k1_f >> 24) & 1
+    c_rid = k1_f & ((1 << 24) - 1)
+    rs_last = gat(key2, first_idx)
+    yq0 = gat(yq, first_idx)
+    re = gat(key2, pk_idx) + 1
+    yql = gat(yq, pk_idx)
+    rs = jnp.maximum(rs_last + 1 - k32, 0)
+    qlen_b = qlen[:, None]
+    qs = jnp.where(c_rev == 0, yq0 + 1 - k32, qlen_b - (yql + 1))
+    qe = jnp.where(c_rev == 0, yql + 1, qlen_b - (yq0 + 1 - k32))
+
+    # --- lq_cnt_match (esterr.c:72-140)
+    capped = avgk_set.astype(bool) & \
+        ((lam // jnp.maximum(qlen.astype(jnp.int64), 1)) > st.covt)
+    proc = qvalid.astype(bool) & (n_kept > 0) & ~capped
+
+    first_fwd = jnp.where(c_rev == 0, first_idx, pk_idx)
+    yq_ff = gat(yq, first_fwd)
+    x0 = jnp.where(c_rev == 0, yq_ff, qlen_b - 1 - (yq_ff + 1 - k32))
+    st_i = _row_searchsorted(mp_pos, x0).astype(jnp.int32)
+    st_c = jnp.clip(st_i, 0, M2 - 1)
+    ok_st = (st_i < n_kept[:, None]) & \
+        (jnp.take_along_axis(mp_pos, st_c, axis=1) == x0)
+
+    rl = seq_lens[jnp.clip(c_rid, 0, seq_lens.shape[0] - 1)]
+    hang5 = jnp.minimum(qs, rs)
+    hang3 = jnp.minimum(qlen_b - qe, rl - re)
+    span_q = qe - qs
+    total = span_q + hang5 + hang3
+    g_ok, g_near = _geom_ok(span_q, total, st)
+    geom = g_ok & (hang5 <= st.max_overhang) & (hang3 <= st.max_overhang)
+    ok = accept & ok_st & geom & proc[:, None]
+    flag_geom = jnp.any(accept & ok_st & g_near & proc[:, None], axis=1)
+
+    dlen = (qe - qs + 1).astype(jnp.int64)
+    lam_new = lam + jnp.sum(jnp.where(ok, dlen, 0), axis=1)
+    med = score0 >= st.min_sc_m
+    good = ok & (score0 >= st.min_sc_g)
+    lam2_new = lam2 + jnp.sum(jnp.where(good, dlen, 0), axis=1)
+    avgk_new = jnp.where(proc & (n_kept > 0), 1, avgk_set)
+
+    # m_cnts: st hit per good chain, then one hit per chained anchor
+    # excluding the forward-first anchor (esterr.c:120-138)
+    mc = m_cnts.at[rows, jnp.where(good, st_c, M2)].add(
+        jnp.where(good, 1, 0), mode="drop")
+    # per-anchor chain tables indexed by rank
+    rank_at_last = jnp.where(is_last, smr, A)
+    tbl_good = jnp.zeros((Q, A), jnp.int32).at[
+        rows, jnp.clip(rank_at_last, 0, A)].max(
+        jnp.where(good, 1, 0), mode="drop")
+    tbl_ff = jnp.full((Q, A), -1, jnp.int32).at[
+        rows, jnp.clip(rank_at_last, 0, A)].max(
+        jnp.where(is_last, first_fwd, -1), mode="drop")
+    mr_c = jnp.clip(mr, 0, A - 1)
+    a_good = (mr != INF32) & \
+        (jnp.take_along_axis(tbl_good, mr_c, axis=1) == 1)
+    a_first = jnp.take_along_axis(tbl_ff, mr_c, axis=1) == a_ids
+    a_rev = (key1 >> 24) & 1
+    fq = jnp.where(a_rev == 0, yq, qlen_b - 1 - (yq + 1 - k32))
+    js = _row_searchsorted(mp_pos, fq).astype(jnp.int32)
+    js_c = jnp.clip(js, 0, M2 - 1)
+    js_ok = (js < n_kept[:, None]) & \
+        (jnp.take_along_axis(mp_pos, js_c, axis=1) == fq)
+    walk = a_good & ~a_first & js_ok & anch_on
+    mc = mc.at[rows, jnp.where(walk, js_c, M2)].add(
+        jnp.where(walk, 1, 0), mode="drop")
+    flag_sat = jnp.max(mc, axis=1) >= 65535
+
+    # --- interval compression (filter_redundant_coords, lqmap.c:25-100)
+    ev_s = (qs << 3) | jnp.where(med, 2, 0)
+    ev_e = (qe << 3) | jnp.where(med, 3, 1)
+    cv_key = jnp.where(ok, spos, INF32)
+    _, (cv_s, cv_e), n_cv = _compact_rows(cv_key, (ev_s, ev_e), CV, INF32)
+    cv_on = jnp.arange(CV, dtype=jnp.int32)[None, :] < \
+        jnp.minimum(n_cv, CV)[:, None]
+    flag_cv = n_cv > CV
+    cv_s = jnp.where(cv_on, cv_s, INF32)
+    cv_e = jnp.where(cv_on, cv_e, INF32)
+
+    vc = jnp.sort(jnp.concatenate([cv_s, cv_e], axis=1), axis=1)
+    vc_on = vc != INF32
+    delta = jnp.where(vc_on & ((vc & 2) != 0),
+                      jnp.where((vc & 1) != 0, -1, 1), 0)
+    medc = jnp.cumsum(delta, axis=1)
+    prevc = medc - delta
+    up = vc_on & (prevc < st.min_cov) & (medc >= st.min_cov)
+    down = vc_on & (prevc >= st.min_cov) & (medc < st.min_cov)
+    med_start = _seg_fill_last(up, vc, 0)
+    mlen_nz = ((vc >> 3) - med_start) != 0
+    is_mc = down & mlen_nz
+    ms_c, (me_c,), n_mc = _compact_rows(
+        jnp.where(is_mc, med_start, INF32), (vc,), CV, INF32)
+    mc_on = jnp.arange(CV, dtype=jnp.int32)[None, :] < \
+        jnp.minimum(n_mc, CV)[:, None]
+    ms_c = jnp.where(mc_on, ms_c, INF32)
+    me_c = jnp.where(mc_on, me_c, 0)
+    ri = _row_searchsorted(ms_c, cv_s, side="right") - 1
+    ri_c = jnp.clip(ri, 0, CV - 1)
+    contained = (ri >= 0) & \
+        (cv_e <= jnp.take_along_axis(me_c, ri_c, axis=1)) & \
+        (cv_s >= jnp.take_along_axis(ms_c, ri_c, axis=1))
+    keep_iv = cv_on & ~contained
+
+    cand = jnp.concatenate([
+        jnp.where(keep_iv, cv_s, INF32),
+        jnp.where(keep_iv, cv_e, INF32),
+        jnp.where(mc_on, ms_c | 4, INF32),
+        jnp.where(mc_on, me_c | 4, INF32)], axis=1)
+    events, _, ev_n = _compact_rows(cand, (), EOUT, INF32)
+
+    # --- commit (flagged rows keep their old state)
+    new_flags = (jnp.where(kflag, F_KERNEL, 0)
+                 | jnp.where(flag_sat, F_SAT, 0)
+                 | jnp.where(flag_cv, F_CV, 0)
+                 | jnp.where(flag_geom, F_GEOM, 0)
+                 | jnp.where(n_q > A, F_ANCH, 0)
+                 | jnp.where(n_exp > M2, F_EXP, 0)).astype(jnp.int32)
+    new_flags = jnp.where(qvalid.astype(bool), new_flags, 0)
+    bad = new_flags != 0
+    lam_new = jnp.where(bad, lam, lam_new)
+    lam2_new = jnp.where(bad, lam2, lam2_new)
+    avgk_new = jnp.where(bad, avgk_set, avgk_new)
+    mc = jnp.where(bad[:, None], m_cnts, mc)
+    ev_n = jnp.where(bad | ~proc, 0, jnp.minimum(ev_n, EOUT))
+    return (lam_new, lam2_new, avgk_new, mc, new_flags,
+            events, ev_n.astype(jnp.int32))
+
+
+@jax.jit
+def _finalize_group(lam, lam2, m_cnts, n_exp):
+    """Per-row div-statistics inputs (minimap2-coverage.c:545-563):
+    uint32-wrapped m_cnts sum, integer-divided by the full minimizer
+    count, then the above-mean match count."""
+    wrapped = jnp.sum(m_cnts.astype(jnp.int64), axis=1) % (1 << 32)
+    mv_n = jnp.maximum(n_exp.astype(jnp.int64), 1)
+    ssum = wrapped // mv_n
+    n_match = jnp.sum(m_cnts.astype(jnp.int64) > ssum[:, None], axis=1)
+    return (lam.astype(jnp.int64), lam2.astype(jnp.int64),
+            n_match.astype(jnp.int32), ssum.astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit, donate_argnames=("lam", "lam2", "avgk_set", "m_cnts"))
+def _apply_fix(lam, lam2, avgk_set, m_cnts, mask,
+               lam_fix, lam2_fix, avgk_fix, m_fix):
+    mb = mask.astype(bool)
+    return (jnp.where(mb, lam_fix, lam),
+            jnp.where(mb, lam2_fix, lam2),
+            jnp.where(mb, avgk_fix, avgk_set),
+            jnp.where(mb[:, None], m_fix, m_cnts))
+
+
+@functools.partial(jax.jit, static_argnames=("M",))
+def _compact_sketch(emit, hsh, pos, strand, *, M):
+    """Per-row compaction of the sketch kernel's (B, L) output into the
+    first M emitting slots (position order), i32-sanitized."""
+    B, L = emit.shape
+    has = emit > 0
+    posl = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :],
+                            (B, L))
+    order = jnp.argsort(jnp.where(has, posl, INF32), axis=1)[:, :M]
+    n = jnp.sum(has, axis=1).astype(jnp.int32)
+    slot_on = jnp.arange(M, dtype=jnp.int32)[None, :] < \
+        jnp.minimum(n, M)[:, None]
+    qh = jnp.take_along_axis(
+        hsh.astype(jnp.uint32).astype(jnp.int32), order, axis=1)
+    qh = jnp.where(slot_on, qh, INF32)
+    qpos = jnp.where(slot_on,
+                     jnp.take_along_axis(pos.astype(jnp.int32), order,
+                                         axis=1), 0)
+    qstrand = jnp.where(slot_on,
+                        jnp.take_along_axis(strand.astype(jnp.int32),
+                                            order, axis=1), 0)
+    qcnt = jnp.where(slot_on,
+                     jnp.take_along_axis(emit.astype(jnp.int32), order,
+                                         axis=1), 0)
+    return qh, qpos, qstrand, qcnt, n
+
+
+def _len_bucket(n):
+    b = 4096
+    while b < n:
+        b *= 4
+    return b
+
+
+def _pow2_at_least(n, lo):
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class _Group:
+    """A batch of GROUP_Q query lanes sharing one length bucket."""
+
+    def __init__(self, qids, reads, k, w, interpret):
+        self.qids = qids                     # lane -> global query index
+        self.blen = _len_bucket(max(len(reads[i][1]) for i in qids))
+        self.M = self.blen // 2
+        self.M2 = self.blen
+        rows = [reads[i] for i in qids]
+        while len(rows) < GROUP_Q:
+            rows.append(["\0pad", "A" * k, ""])
+        batch = pack_reads(rows, max_len=self.blen, pad_to=self.blen,
+                           with_quals=False)
+        res = sketch_batch(jnp.asarray(batch.codes),
+                           jnp.asarray(batch.lengths), w=w, k=k)
+        (self.qh, self.qpos, self.qstrand, qcnt,
+         self.n_slots) = _compact_sketch(
+            res["emit"], res["hash"], res["pos"], res["strand"], M=self.M)
+        self.e_src, self.n_exp = _group_expand(qcnt, self.n_slots,
+                                               M2=self.M2)
+        self.qcnt = qcnt
+        self.qlen = jnp.asarray(
+            np.array([len(reads[i][1]) for i in qids]
+                     + [0] * (GROUP_Q - len(qids)), np.int32))
+        # rows whose compaction or expansion overflowed (adversarial
+        # periodic reads) are permanently host-processed
+        n_np = np.asarray(self.n_slots)[:len(qids)]
+        exp_np = np.asarray(self.n_exp)[:len(qids)]
+        self.perm_host = np.zeros(GROUP_Q, bool)
+        self.perm_host[:len(qids)] = (n_np > self.M) | (exp_np > self.M2)
+        qv = np.zeros(GROUP_Q, np.int32)
+        qv[:len(qids)] = np.where(self.perm_host[:len(qids)], 0, 1)
+        self.qvalid = jnp.asarray(qv)
+        # state
+        self.lam = jnp.zeros((GROUP_Q,), jnp.int64)
+        self.lam2 = jnp.zeros((GROUP_Q,), jnp.int64)
+        self.avgk_set = jnp.zeros((GROUP_Q,), jnp.int32)
+        self.m_cnts = jnp.zeros((GROUP_Q, self.M2), jnp.int32)
+        self._host_sketch = None
+
+    def host_sketch_lists(self, k, w, reads):
+        """Per-lane (hash, pos, strand, span) expanded lists for the
+        host fallback (sketch_to_lists contract). Pulled lazily from the
+        device compaction; rows whose compaction overflowed (perm_host)
+        are re-sketched exactly via the host path."""
+        if self._host_sketch is None:
+            qh = np.asarray(self.qh)
+            qpos = np.asarray(self.qpos)
+            qstr = np.asarray(self.qstrand)
+            qcnt = np.asarray(self.qcnt)
+            ns = np.asarray(self.n_slots)
+            out = []
+            for r in range(GROUP_Q):
+                if r < len(self.qids) and self.perm_host[r]:
+                    out.append(oh.sketch_reads_device(
+                        [reads[self.qids[r]]], k, w)[0])
+                    continue
+                n = min(int(ns[r]), self.M)
+                rep = np.repeat(np.arange(n), qcnt[r, :n])
+                out.append((qh[r, rep].astype(np.uint64),
+                            qpos[r, rep].astype(np.int64),
+                            qstr[r, rep].astype(np.int64),
+                            np.full(len(rep), k, np.int64)))
+            self._host_sketch = out
+        return self._host_sketch
+
+
+class _PartIndex:
+    """Device-resident index over one target part + host-side metadata."""
+
+    def __init__(self, part, k, w, mid_occ_fixed, mid_occ_frac):
+        self.part = part
+        self.names = [r[0] for r in part]
+        uniq = sorted(set(self.names))
+        self.name_rank = {n: i for i, n in enumerate(uniq)}
+        self.sorted_names = uniq
+        B = len(part)
+        assert B < (1 << 24), "part read count exceeds rid packing"
+        self.B_pad = _pow2_at_least(max(B, 1), 1024)
+        rid_rank = np.full(self.B_pad, -2, np.int32)
+        rid_rank[:B] = [self.name_rank[n] for n in self.names]
+        seq_lens = np.zeros(self.B_pad, np.int32)
+        seq_lens[:B] = [len(r[1]) for r in part]
+        self.rid_rank = jnp.asarray(rid_rank)
+        self.seq_lens = jnp.asarray(seq_lens)
+
+        # sketch all part reads, bucketed by length; per-batch compaction
+        # halves the flat buffer (minimizer slot density is < 1/2 except
+        # on adversarial periodic reads, detected and rebuilt below)
+        buckets = {}
+        for i, r in enumerate(part):
+            buckets.setdefault(_len_bucket(len(r[1])), []).append(i)
+
+        def build_flats(slot_div):
+            flats, total = [], 0
+            for blen, idxs in sorted(buckets.items()):
+                rows_per = max(1, (1 << 21) // blen)
+                M = blen // slot_div
+                for off in range(0, len(idxs), rows_per):
+                    sel = idxs[off:off + rows_per]
+                    rows = [part[i] for i in sel]
+                    gids = np.full(rows_per, -1, np.int32)
+                    gids[:len(sel)] = sel
+                    while len(rows) < rows_per:
+                        rows.append(["\0pad", "A" * k, ""])
+                    batch = pack_reads(rows, max_len=blen, pad_to=blen,
+                                       with_quals=False)
+                    res = sketch_batch(jnp.asarray(batch.codes),
+                                       jnp.asarray(batch.lengths),
+                                       w=w, k=k)
+                    flats.append(_flatten_sketch(
+                        res["emit"], res["hash"], res["pos"],
+                        res["strand"], jnp.asarray(gids), M=M))
+                    total += rows_per * M
+            return flats, total
+
+        flats, total = build_flats(2)
+        n_over = sum(int(jnp.sum(f[4] > (f[0].shape[0] // f[4].shape[0])))
+                     for f in flats)
+        if n_over:
+            # some read's emitting-slot count exceeded blen/2: rebuild
+            # with full-width slots (n <= L always, so this is exact)
+            logger.info("index sketch: %d rows overflow blen/2 slots; "
+                        "rebuilding at full width", n_over)
+            flats, total = build_flats(1)
+        N_pad = _pow2_at_least(max(total, 1), 1 << 16)
+
+        def cat(j, fill):
+            parts_ = [f[j] for f in flats]
+            parts_.append(jnp.full((N_pad - total,), fill, jnp.int32))
+            return jnp.concatenate(parts_)
+
+        h = cat(0, INF32)
+        rid = cat(1, 0)
+        ps = cat(2, 0)
+        cnt = cat(3, 0)
+        (self.ih, self.irid, self.ips, self.iwsum,
+         key_counts, n_keys) = _index_sort(h, rid, ps, cnt)
+        if mid_occ_fixed:
+            self.mid_occ = jnp.asarray(np.int32(mid_occ_fixed))
+        else:
+            # kth selection mirrors MinimizerIndex.mid_occ
+            # (index.c:123-144): host computes kth from the pulled key
+            # count (one 4-byte sync per part)
+            n = int(n_keys)
+            if n == 0:
+                self.mid_occ = jnp.asarray(np.int32(1))
+            else:
+                kth = min(int((1.0 - mid_occ_frac) * n), n - 1)
+                self.mid_occ = _mid_occ_from_counts(key_counts,
+                                                    np.int32(kth))
+        self._host_index = None
+        self._k, self._w = k, w
+
+    def host_index(self):
+        """Exact host MinimizerIndex for this part (built lazily, only
+        when a flagged row needs the host fallback)."""
+        if self._host_index is None:
+            self._host_index = oh.build_index(self.part, self._k,
+                                              self._w)
+        return self._host_index
+
+
+class DeviceOverlapEngine:
+    """Device-resident overlap engine with exact per-row host fallback.
+
+    Produces rows bit-identical to overlap_host.overlap_run (the
+    executable spec of minimap2-coverage).
+    """
+
+    def __init__(self, cfg: OverlapConfig, query_reads, interpret=None):
+        if cfg.index.is_hpc:
+            raise NotImplementedError(
+                "HPC sketch (pb-hifi / --filter) uses the host path")
+        self.cfg = cfg
+        self.k, self.w = cfg.index.k, cfg.index.w
+        limbs = penalty_limbs(float(np.float32(self.k)), cfg.map.bw)
+        if limbs is None:
+            raise NotImplementedError(
+                "no fixed-point gap-penalty multiplier for this (k, bw)")
+        self.limbs5 = jnp.asarray(limbs)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+        self.queries = query_reads
+        self.groups = []
+        by_bucket = {}
+        for i, r in enumerate(query_reads):
+            by_bucket.setdefault(_len_bucket(len(r[1])), []).append(i)
+        for blen, idxs in sorted(by_bucket.items()):
+            for off in range(0, len(idxs), GROUP_Q):
+                self.groups.append(_Group(idxs[off:off + GROUP_Q],
+                                          query_reads, self.k, self.w,
+                                          interpret))
+        self.events = [[] for _ in query_reads]   # flat tagged endpoints
+        # persistent host ReadStates for permanently host-processed rows
+        self.host_state = {}
+        for g in self.groups:
+            for r, qi in enumerate(g.qids):
+                if g.perm_host[r]:
+                    sk = g.host_sketch_lists(self.k, self.w,
+                                             self.queries)[r]
+                    self.host_state[qi] = oh.ReadState(len(sk[0]))
+        self.n_host_fallback = 0
+        self.n_device_calls = 0
+
+    def _static(self, g, A):
+        m = self.cfg.map
+        f = self.cfg.flt
+        p_hi, p_lo, p_s = _ratio_limbs(f.min_ratio)
+        return StepStatic(
+            Q=GROUP_Q, M=g.M, M2=g.M2, A=A, k=self.k,
+            max_gap=m.max_gap, bw=m.bw, max_skip=m.max_chain_skip,
+            min_cnt=m.min_cnt, min_sc=m.min_chain_score,
+            min_sc_m=m.min_score_med, min_sc_g=m.min_score_good,
+            max_overhang=f.max_overhang, min_cov=f.min_coverage,
+            covt=self.cfg.covt, ava=self.cfg.ava,
+            p_hi=p_hi, p_lo=p_lo, p_s=p_s, interpret=self.interpret)
+
+    def run(self, target_iter, progress=None):
+        cfg = self.cfg
+        for part in oh.iter_index_parts(target_iter,
+                                        cfg.index.batch_size):
+            pidx = _PartIndex(part, self.k, self.w, cfg.map.mid_occ,
+                              cfg.map.mid_occ_frac)
+            for g in self.groups:
+                self._run_group_part(g, pidx, progress)
+        return self._finalize()
+
+    def _run_group_part(self, g, pidx, progress):
+        st0 = self._static(g, A_BUCKETS[0])
+        qrank = np.full(GROUP_Q, -1, np.int32)
+        qbisect = np.zeros(GROUP_Q, np.int32)
+        for r, qi in enumerate(g.qids):
+            qname = self.queries[qi][0]
+            qrank[r] = pidx.name_rank.get(qname, -1)
+            if self.cfg.ava:
+                qbisect[r] = bisect_left(pidx.sorted_names, qname)
+        qrank_d = jnp.asarray(qrank)
+        qbisect_d = jnp.asarray(qbisect)
+
+        n_q = np.asarray(_count_anchors(pidx.ih, pidx.iwsum, pidx.mid_occ,
+                                        g.qh, g.e_src, st0))
+        n_max = int(n_q[:len(g.qids)].max()) if len(g.qids) else 0
+        A = next((a for a in A_BUCKETS if n_max <= a), A_BUCKETS[-1])
+        st = self._static(g, A)
+        (g.lam, g.lam2, g.avgk_set, g.m_cnts, flags, events,
+         ev_n) = _step(
+            pidx.ih, pidx.irid, pidx.ips, pidx.iwsum, pidx.seq_lens,
+            pidx.rid_rank, pidx.mid_occ,
+            g.qh, g.qpos, g.qstrand, g.e_src, g.n_exp,
+            g.qlen, qrank_d, qbisect_d, g.qvalid,
+            g.lam, g.lam2, g.avgk_set, g.m_cnts, self.limbs5, st)
+        self.n_device_calls += 1
+
+        flags_np = np.asarray(flags)
+        ev_n_np = np.asarray(ev_n)
+        w = int(ev_n_np.max()) if len(g.qids) else 0
+        if w > 0:
+            w = _pow2_at_least(w, 64)
+            ev_np = np.asarray(events[:, :w])
+        for r, qi in enumerate(g.qids):
+            if flags_np[r] or g.perm_host[r]:
+                continue
+            n = int(ev_n_np[r])
+            if n:
+                self.events[qi].extend(int(x) for x in ev_np[r, :n])
+            if progress:
+                progress(qi)
+        bad = [r for r in range(len(g.qids))
+               if flags_np[r] or g.perm_host[r]]
+        if bad:
+            self._host_fix(g, pidx, bad, progress)
+
+    def _host_fix(self, g, pidx, rows, progress):
+        """Exact host recompute of this part's update for flagged rows
+        (their device state was left untouched by _step)."""
+        cfg = self.cfg
+        m = cfg.map
+        hidx = pidx.host_index()
+        mid_occ = m.mid_occ or int(pidx.mid_occ)
+        fopt = {"seq_lens": hidx.seq_lens,
+                "min_ratio": cfg.flt.min_ratio,
+                "max_overhang": cfg.flt.max_overhang}
+        sk = g.host_sketch_lists(self.k, self.w, self.queries)
+        lam = np.asarray(g.lam).copy()
+        lam2 = np.asarray(g.lam2).copy()
+        avgk = np.asarray(g.avgk_set).copy()
+        mcn = np.asarray(g.m_cnts).copy()
+        n_exp_np = np.asarray(g.n_exp)
+        mask = np.zeros(GROUP_Q, np.int32)
+        for r in rows:
+            qi = g.qids[r]
+            self.n_host_fallback += 1
+            q = self.queries[qi]
+            if qi in self.host_state:
+                state = self.host_state[qi]
+            else:
+                state = oh.ReadState(0)
+                state.lam = int(lam[r])
+                state.lam2 = int(lam2[r])
+                state.avg_k = (np.float32(self.k) if avgk[r]
+                               else np.float32(0.0))
+                n_exp = int(n_exp_np[r])
+                mc_row = np.zeros(max(n_exp, len(sk[r][0])), np.uint16)
+                upto = min(n_exp, g.M2)
+                mc_row[:upto] = mcn[r, :upto].astype(np.uint16)
+                state.m_cnts = mc_row
+            state.coords = []
+            ax, ay, mini_pos = oh.collect_seed_hits(
+                hidx, q[0], len(q[1]), sk[r], mid_occ,
+                no_self=True, ava=cfg.ava)
+            chains = oh.chain_dp(ax, ay, m.max_gap, m.bw,
+                                 m.max_chain_skip, m.min_cnt,
+                                 m.min_chain_score)
+            regs = [oh.chain_to_reg(ax, ay, len(q[1]), sc, idx)
+                    for sc, idx in chains]
+            cv = oh.lq_cnt_match(state, len(q[1]), regs, ax, ay,
+                                 mini_pos, m.min_score_med,
+                                 m.min_score_good, fopt, covt=cfg.covt)
+            oh.filter_redundant_coords(state, cv, cfg.flt.min_coverage)
+            for s, e in state.coords:
+                self.events[qi].append(int(np.uint32(s)))
+                self.events[qi].append(int(np.uint32(e)))
+            if progress:
+                progress(qi)
+            if qi in self.host_state:
+                continue  # state lives host-side permanently
+            lam[r] = state.lam
+            lam2[r] = state.lam2
+            avgk[r] = 1 if state.avg_k != 0.0 else 0
+            mcn[r, :] = 0
+            upto = min(len(state.m_cnts), g.M2)
+            mcn[r, :upto] = state.m_cnts[:upto].astype(np.int32)
+            mask[r] = 1
+        if mask.any():
+            (g.lam, g.lam2, g.avgk_set, g.m_cnts) = _apply_fix(
+                g.lam, g.lam2, g.avgk_set, g.m_cnts, jnp.asarray(mask),
+                jnp.asarray(lam), jnp.asarray(lam2), jnp.asarray(avgk),
+                jnp.asarray(mcn))
+
+    def _finalize(self):
+        cfg = self.cfg
+        rows = [None] * len(self.queries)
+        for g in self.groups:
+            lam, lam2, n_match, _ssum = _finalize_group(
+                g.lam, g.lam2, g.m_cnts, g.n_exp)
+            lam = np.asarray(lam)
+            lam2 = np.asarray(lam2)
+            n_match = np.asarray(n_match)
+            n_exp = np.asarray(g.n_exp)
+            for r, qi in enumerate(g.qids):
+                q = self.queries[qi]
+                if qi in self.host_state:
+                    st = self.host_state[qi]
+                    mv_n = len(st.m_cnts)
+                    if mv_n > 0:
+                        ssum = int(st.m_cnts.astype(np.uint64).sum()
+                                   % (1 << 32)) // mv_n
+                        nm = int((st.m_cnts > ssum).sum())
+                    else:
+                        nm = 0
+                    div = oh.div_score(mv_n, nm, st.avg_k)
+                    lam_r, lam2_r = st.lam, st.lam2
+                else:
+                    div = oh.div_score(int(n_exp[r]), int(n_match[r]),
+                                       np.float32(self.k))
+                    lam_r, lam2_r = int(lam[r]), int(lam2[r])
+                vc = sorted(self.events[qi])
+                rows[qi] = oh.emit_row(
+                    q[0], len(q[1]), q[2], lam_r, lam2_r,
+                    div, vc, cfg.flt.min_coverage, cfg.filter_mode)
+        return rows
+
+
+def overlap_run_device2(target_iter, query_reads, cfg: OverlapConfig,
+                        progress=None, interpret=None):
+    """Device-resident overlap run -> 9-column TSV rows (row-identical
+    to overlap_host.overlap_run)."""
+    eng = DeviceOverlapEngine(cfg, query_reads, interpret=interpret)
+    rows = eng.run(target_iter, progress=progress)
+    if eng.n_host_fallback:
+        logger.info("device overlap: %d calls, %d host-fixed rows",
+                    eng.n_device_calls, eng.n_host_fallback)
+    return rows

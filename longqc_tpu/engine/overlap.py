@@ -193,7 +193,25 @@ class DeviceChainer:
 
 def overlap_run_device(target_iter, query_reads, cfg: OverlapConfig,
                        progress=None, J=64):
-    """Device-path overlap run -> 9-column TSV rows."""
+    """Device-path overlap run -> 9-column TSV rows.
+
+    Dispatches to the device-resident engine (engine/device_overlap,
+    the round-2 hot path) for plain-sketch configs; HPC-sketch runs
+    (pb-hifi, spike-in --filter) use the round-1 batched-chainer path.
+    Override with LONGQC_OVERLAP_ENGINE=v1|v2.
+    """
+    choice = os.environ.get("LONGQC_OVERLAP_ENGINE", "")
+    if choice != "v1" and not cfg.index.is_hpc:
+        try:
+            from longqc_tpu.engine.device_overlap import \
+                overlap_run_device2
+            return overlap_run_device2(target_iter, query_reads, cfg,
+                                       progress=progress)
+        except NotImplementedError:
+            if choice == "v2":
+                raise
+            logger.info("device engine unavailable for this config; "
+                        "using the batched-chainer path")
     chainer = DeviceChainer(J=J)
     rows = oh.overlap_run(target_iter, query_reads, cfg,
                           progress=progress, chain_many=chainer)

@@ -531,6 +531,13 @@ def compute_reliable_region(coords, min_cov):
         vc.append(int(np.uint32(s)))
         vc.append(int(np.uint32(e)))
     vc.sort()
+    return sweep_events(vc, min_cov)
+
+
+def sweep_events(vc, min_cov):
+    """The sweep body of compute_reliable_region over an already-sorted
+    flat list of tagged endpoint values (pairing is irrelevant to the
+    sweep; the device engine stores events flat)."""
     regions, mregions = [], []
     cov = med_cov = 0
     start = med_start = 0
@@ -675,8 +682,6 @@ def overlap_run(target_iter, query_reads, cfg: OverlapConfig,
     # final per-read rows (minimap2-coverage.c:545-617)
     rows = []
     for qi, q in enumerate(query_reads):
-        qname, qseq, qqual = q[0], q[1], q[2]
-        qlen = len(qseq)
         st = states[qi]
         mv_n = len(st.m_cnts)
         if mv_n > 0:
@@ -684,35 +689,50 @@ def overlap_run(target_iter, query_reads, cfg: OverlapConfig,
             # (minimap2-coverage.c:553-558)
             ssum = int(st.m_cnts.astype(np.uint64).sum() % (1 << 32)) // mv_n
             n_match = int((st.m_cnts > ssum).sum())
-            if n_match > 0:
-                # logf(float/float)/float chain in f32, as in the C
-                r = np.float32(mv_n) / np.float32(n_match)
-                div = float(np.float32(np.log(r)) / st.avg_k)
-            else:
-                div = 1.0
         else:
-            div = 1.0
-        regions, mregions = compute_reliable_region(st.coords,
-                                                    cfg.flt.min_coverage)
-        meanq = mean_q_host(qqual) if qqual else 0.0
-        if regions:
-            tot = sum(e - s for s, e in regions)
-            coords_s = ",".join("%d-%d" % (s, e) for s, e in regions)
-            mcoords_s = (",".join("%d-%d" % (s, e) for s, e in mregions)
-                         if mregions else "0")
-            if cfg.filter_mode:
-                c5 = tot / qlen
-                c8 = "0.0"
-            else:
-                c5 = st.lam / tot
-                c8 = format_f3(st.lam2 / tot)
-            rows.append("%s\t%d\t%d\t%s\t%s\t%s\t%s\t%s\t%s" % (
-                qname, qlen, st.lam, coords_s, mcoords_s,
-                format_f3(c5), format_f3(meanq), format_f3(div), c8))
-        else:
-            rows.append("%s\t%d\t%d\t0\t0\t0.0\t%s\t%s\t0.0" % (
-                qname, qlen, st.lam, format_f3(meanq), format_f3(div)))
+            n_match = 0
+        div = div_score(mv_n, n_match, st.avg_k)
+        vc = []
+        for s, e in st.coords:
+            vc.append(int(np.uint32(s)))
+            vc.append(int(np.uint32(e)))
+        vc.sort()
+        rows.append(emit_row(q[0], len(q[1]), q[2], st.lam, st.lam2, div,
+                             vc, cfg.flt.min_coverage, cfg.filter_mode))
     return rows
+
+
+def div_score(mv_n, n_match, avg_k):
+    """Per-read divergence (minimap2-coverage.c:553-563): the
+    logf(float/float)/float chain evaluated in f32, as in the C."""
+    if mv_n > 0 and n_match > 0:
+        r = np.float32(mv_n) / np.float32(n_match)
+        return float(np.float32(np.log(r)) / np.float32(avg_k))
+    return 1.0
+
+
+def emit_row(qname, qlen, qqual, lam, lam2, div, events_sorted, min_cov,
+             filter_mode):
+    """One 9-column TSV row (minimap2-coverage.c:587-617) from the
+    per-read accumulators and the sorted flat endpoint events."""
+    regions, mregions = sweep_events(events_sorted, min_cov)
+    meanq = mean_q_host(qqual) if qqual else 0.0
+    if regions:
+        tot = sum(e - s for s, e in regions)
+        coords_s = ",".join("%d-%d" % (s, e) for s, e in regions)
+        mcoords_s = (",".join("%d-%d" % (s, e) for s, e in mregions)
+                     if mregions else "0")
+        if filter_mode:
+            c5 = tot / qlen
+            c8 = "0.0"
+        else:
+            c5 = lam / tot
+            c8 = format_f3(lam2 / tot)
+        return "%s\t%d\t%d\t%s\t%s\t%s\t%s\t%s\t%s" % (
+            qname, qlen, lam, coords_s, mcoords_s,
+            format_f3(c5), format_f3(meanq), format_f3(div), c8)
+    return "%s\t%d\t%d\t0\t0\t0.0\t%s\t%s\t0.0" % (
+        qname, qlen, lam, format_f3(meanq), format_f3(div))
 
 
 def aggregate_minimizer_counts(q_sketches, states):

@@ -1,0 +1,80 @@
+"""Row identity of the device-resident overlap engine vs the host spec
+(Pallas kernels in interpret mode on the CPU test platform; the same
+compiled programs run on TPU)."""
+
+import numpy as np
+import pytest
+
+from longqc_tpu.config import OverlapConfig, IndexOpt, MapOpt, FltOpt
+from longqc_tpu.engine import overlap_host as oh
+from longqc_tpu.engine.device_overlap import (DeviceOverlapEngine,
+                                              overlap_run_device2)
+from util_synth import make_genome, sample_reads
+
+
+def _cfg(**kw):
+    return OverlapConfig(index=IndexOpt(k=12, w=5),
+                         map=MapOpt(min_score_med=80, min_score_good=160),
+                         flt=FltOpt(min_ovlp=0), **kw)
+
+
+def test_device2_rows_match_host_small():
+    rng = np.random.RandomState(11)
+    genome = make_genome(rng, 30000)
+    reads = sample_reads(rng, genome, 150, min_len=700, max_len=2200,
+                         err=0.12, junk_frac=0.1)
+    queries = reads[:40]
+    cfg = _cfg()
+    rows_host = oh.overlap_run(list(reads), queries, cfg)
+    rows_dev = overlap_run_device2(list(reads), queries, cfg)
+    assert rows_dev == rows_host
+
+
+def test_device2_rows_match_host_multipart():
+    rng = np.random.RandomState(23)
+    genome = make_genome(rng, 25000)
+    reads = sample_reads(rng, genome, 160, min_len=600, max_len=2000,
+                         err=0.13, junk_frac=0.15)
+    queries = reads[:30]
+    cfg = _cfg()
+    cfg.index.batch_size = 60_000  # force several index parts
+    rows_host = oh.overlap_run(list(reads), queries, cfg)
+    eng = DeviceOverlapEngine(cfg, queries)
+    rows_dev = eng.run(list(reads))
+    assert rows_dev == rows_host
+    assert eng.n_device_calls >= 2
+
+
+def test_device2_high_coverage_repeats():
+    # repeat-rich genome: stresses occurrence thresholds, multiplicity
+    # (tie emissions), interval compression, and the min-rank selection
+    rng = np.random.RandomState(7)
+    core = make_genome(rng, 3000)
+    genome = core * 6 + make_genome(rng, 4000)
+    reads = sample_reads(rng, genome, 220, min_len=500, max_len=1800,
+                         err=0.08, junk_frac=0.05)
+    queries = reads[:25]
+    cfg = _cfg()
+    rows_host = oh.overlap_run(list(reads), queries, cfg)
+    eng = DeviceOverlapEngine(cfg, queries)
+    rows_dev = eng.run(list(reads))
+    assert rows_dev == rows_host
+
+
+def test_device2_filter_mode_columns():
+    rng = np.random.RandomState(3)
+    genome = make_genome(rng, 15000)
+    reads = sample_reads(rng, genome, 80, min_len=600, max_len=1500,
+                         err=0.1, junk_frac=0.1)
+    queries = reads[:16]
+    cfg = _cfg(filter_mode=True)
+    rows_host = oh.overlap_run(list(reads), queries, cfg)
+    rows_dev = overlap_run_device2(list(reads), queries, cfg)
+    assert rows_dev == rows_host
+
+
+def test_device2_hpc_unsupported():
+    cfg = _cfg()
+    cfg.index.is_hpc = True
+    with pytest.raises(NotImplementedError):
+        DeviceOverlapEngine(cfg, [["q", "ACGT" * 100, ""]])
