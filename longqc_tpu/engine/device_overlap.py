@@ -34,8 +34,9 @@ lqmap.c:25-100 (interval compression), minimap2-coverage.c:545-617
 """
 
 import functools
-import math
+import time
 from bisect import bisect_left
+from collections import defaultdict
 from dataclasses import dataclass
 from logging import getLogger
 
@@ -251,27 +252,86 @@ def _count_anchors(ih, iwsum, mid_occ, qh, e_src, st: StepStatic):
 
 
 def _geom_ok(a, total, st: StepStatic):
-    """Exact integer evaluation of `a >= total * min_ratio` (numpy f64
-    semantics), plus a near-boundary mask where f64 rounding could
-    diverge (flagged for host fallback)."""
-    a64 = a.astype(jnp.int64)
+    """Evaluation of numpy's `a >= total * min_ratio` under f64
+    semantics (both sides promote to f64 — exact for values < 2^31; the
+    product rounds to nearest-even).
+
+    For a dyadic ratio p/2^s with s <= 53 (0.4 and every other standard
+    ratio) the test `f64(a) >= RN(total*p/2^s)` is EXACTLY equivalent to
+    the integer comparison  total*p53 <= a*2^53 + 2^ilog2(a)  with
+    p53 = p << (53-s): the RHS is (a + ulp(a)/2)*2^53, and a's f64
+    mantissa is always even for a < 2^52, so a midpoint tie rounds down
+    to a. Evaluated overflow-free in 27-bit limbs. Larger scales
+    (nonstandard tiny ratios) keep an approximate path that flags
+    near-boundary chains for the exact host fallback.
+    """
+    a64 = jnp.maximum(a.astype(jnp.int64), 1)
     t64 = total.astype(jnp.int64)
-    if st.p_s <= 27:
-        lhs = a64 << st.p_s
-        rhs = t64 * (st.p_hi * (1 << 27) + st.p_lo)
-        ok = lhs >= rhs
-        near = jnp.abs(lhs - rhs) <= 1
-        return ok, near
-    b1 = t64 * st.p_hi
-    b0 = t64 * st.p_lo
-    d = (a64 << (st.p_s - 27)) - b1
-    big = d >= (1 << 31)
-    neg = d < 0
-    mid = (jnp.clip(d, 0, (1 << 31) - 1) << 27) - b0
-    ok = big | (~neg & (mid >= 0))
-    thr = 1 << max(0, st.p_s - 20)
-    near = ~big & ~neg & (jnp.abs(mid) < thr)
-    return ok, near
+    M27 = (1 << 27) - 1
+    if st.p_s <= 53:
+        p53 = (st.p_hi * (1 << 27) + st.p_lo) << (53 - st.p_s)
+        p_hi, p_lo = p53 >> 27, p53 & M27
+        low = t64 * p_lo
+        P_hi = t64 * p_hi + (low >> 27)
+        P_lo = low & M27
+        # exact floor(log2(a)): f32 exponent field, corrected
+        e0 = (jax.lax.shift_right_logical(
+            jax.lax.bitcast_convert_type(a64.astype(jnp.float32),
+                                         jnp.int32),
+            np.int32(23)) - 127).astype(jnp.int64)
+        pw = jax.lax.shift_left(jnp.int64(1), jnp.clip(e0, 0, 62))
+        e = jnp.where(a64 < pw, e0 - 1,
+                      jnp.where(a64 >= (pw << 1), e0 + 1, e0))
+        T_hi = (a64 << 26) + jnp.where(
+            e >= 27, jax.lax.shift_left(jnp.int64(1),
+                                        jnp.clip(e - 27, 0, 62)), 0)
+        T_lo = jnp.where(e < 27,
+                         jax.lax.shift_left(jnp.int64(1),
+                                            jnp.clip(e, 0, 26)), 0)
+        ok = (P_hi < T_hi) | ((P_hi == T_hi) & (P_lo <= T_lo))
+        return ok, jnp.zeros_like(ok)
+    if st.p_s <= 80:
+        # 53 < s <= 80: compare t*p <= (a*2^53 + 2^e) * 2^(s-53) in
+        # three 27-bit limbs with borrow (same midpoint/tie reasoning)
+        sh = st.p_s - 53
+        M27 = (1 << 27) - 1
+        p = st.p_hi * (1 << 27) + st.p_lo
+        p1, p0 = p >> 27, p & M27
+        low = t64 * p0
+        x0 = low & M27
+        mid = t64 * p1 + (low >> 27)
+        x1 = mid & M27
+        x2 = mid >> 27
+        e0 = (jax.lax.shift_right_logical(
+            jax.lax.bitcast_convert_type(a64.astype(jnp.float32),
+                                         jnp.int32),
+            np.int32(23)) - 127).astype(jnp.int64)
+        pw = jax.lax.shift_left(jnp.int64(1), jnp.clip(e0, 0, 62))
+        e = jnp.where(a64 < pw, e0 - 1,
+                      jnp.where(a64 >= (pw << 1), e0 + 1, e0))
+        b = e + sh  # bit position of the half-ulp term, <= 57
+        one = jnp.int64(1)
+        s0 = jnp.where(b < 27, jax.lax.shift_left(one, jnp.clip(b, 0, 26)),
+                       0)
+        s1 = jnp.where((b >= 27) & (b < 54),
+                       jax.lax.shift_left(one, jnp.clip(b - 27, 0, 26)), 0)
+        s2 = jnp.where(b >= 54,
+                       jax.lax.shift_left(one, jnp.clip(b - 54, 0, 26)), 0)
+        r0 = x0 - s0
+        bor0 = (r0 < 0).astype(jnp.int64)
+        r0 = r0 + (bor0 << 27)
+        r1 = x1 - s1 - bor0
+        bor1 = (r1 < 0).astype(jnp.int64)
+        r1 = r1 + (bor1 << 27)
+        r2 = x2 - s2 - bor1
+        v2 = a64 << (sh - 1)  # a * 2^(53+sh) at the 2^54 limb scale
+        ok = (r2 < 0) | (r2 < v2) | \
+            ((r2 == v2) & (r1 == 0) & (r0 == 0))
+        return ok, jnp.zeros_like(ok)
+    # s > 80 would mean min_ratio < 2^-27; flag every chain so the host
+    # fallback computes the row exactly — never hit by sane configs
+    ok = jnp.ones_like(a64 > 0)
+    return ok, jnp.ones_like(ok)
 
 
 @functools.partial(jax.jit, static_argnames=("st",),
@@ -814,6 +874,8 @@ class DeviceOverlapEngine:
                     self.host_state[qi] = oh.ReadState(len(sk[0]))
         self.n_host_fallback = 0
         self.n_device_calls = 0
+        self.phase_s = defaultdict(float)   # wall time per phase
+        self.flag_counts = defaultdict(int)
 
     def _static(self, g, A):
         m = self.cfg.map
@@ -832,13 +894,20 @@ class DeviceOverlapEngine:
         cfg = self.cfg
         for part in oh.iter_index_parts(target_iter,
                                         cfg.index.batch_size):
+            t0 = time.time()
             pidx = _PartIndex(part, self.k, self.w, cfg.map.mid_occ,
                               cfg.map.mid_occ_frac)
+            pidx.mid_occ.block_until_ready()
+            self.phase_s["index"] += time.time() - t0
             for g in self.groups:
                 self._run_group_part(g, pidx, progress)
-        return self._finalize()
+        t0 = time.time()
+        rows = self._finalize()
+        self.phase_s["finalize"] += time.time() - t0
+        return rows
 
     def _run_group_part(self, g, pidx, progress):
+        t0 = time.time()
         st0 = self._static(g, A_BUCKETS[0])
         qrank = np.full(GROUP_Q, -1, np.int32)
         qbisect = np.zeros(GROUP_Q, np.int32)
@@ -855,6 +924,8 @@ class DeviceOverlapEngine:
         n_max = int(n_q[:len(g.qids)].max()) if len(g.qids) else 0
         A = next((a for a in A_BUCKETS if n_max <= a), A_BUCKETS[-1])
         st = self._static(g, A)
+        self.phase_s["count"] += time.time() - t0
+        t0 = time.time()
         (g.lam, g.lam2, g.avgk_set, g.m_cnts, flags, events,
          ev_n) = _step(
             pidx.ih, pidx.irid, pidx.ips, pidx.iwsum, pidx.seq_lens,
@@ -865,6 +936,11 @@ class DeviceOverlapEngine:
         self.n_device_calls += 1
 
         flags_np = np.asarray(flags)
+        self.phase_s["step"] += time.time() - t0
+        t0 = time.time()
+        for r in range(len(g.qids)):
+            if flags_np[r]:
+                self.flag_counts[int(flags_np[r])] += 1
         ev_n_np = np.asarray(ev_n)
         w = int(ev_n_np.max()) if len(g.qids) else 0
         if w > 0:
@@ -878,10 +954,13 @@ class DeviceOverlapEngine:
                 self.events[qi].extend(int(x) for x in ev_np[r, :n])
             if progress:
                 progress(qi)
+        self.phase_s["pull"] += time.time() - t0
         bad = [r for r in range(len(g.qids))
                if flags_np[r] or g.perm_host[r]]
         if bad:
+            t0 = time.time()
             self._host_fix(g, pidx, bad, progress)
+            self.phase_s["host_fix"] += time.time() - t0
 
     def _host_fix(self, g, pidx, rows, progress):
         """Exact host recompute of this part's update for flagged rows

@@ -73,6 +73,36 @@ def test_device2_filter_mode_columns():
     assert rows_dev == rows_host
 
 
+def test_geom_ok_exact_f64_semantics():
+    # the overhang-ratio comparison must reproduce numpy's f64
+    # `a >= total * ratio` bit-exactly for standard ratios, including
+    # multiples-of-5 totals where total*0.4 sits ~1e-13 from an integer
+    from longqc_tpu.engine.device_overlap import _geom_ok, _ratio_limbs
+    from longqc_tpu.engine.device_overlap import StepStatic
+
+    rng = np.random.RandomState(1)
+    for ratio in (0.4, 0.5, 0.25, 0.75, 0.3):
+        p_hi, p_lo, p_s = _ratio_limbs(ratio)
+        st = StepStatic(Q=1, M=1, M2=1, A=256, k=12, max_gap=1, bw=1,
+                        max_skip=1, min_cnt=1, min_sc=1, min_sc_m=1,
+                        min_sc_g=1, max_overhang=1, min_cov=1, covt=1,
+                        ava=False, p_hi=p_hi, p_lo=p_lo, p_s=p_s,
+                        interpret=True)
+        tot = np.concatenate([
+            rng.randint(1, 1 << 30, size=3000),
+            np.arange(1, 2000) * 5,          # exact-boundary stress
+            np.arange(1, 2000) * 4,
+        ]).astype(np.int64)
+        # a near the boundary: floor/ceil of total*ratio, +-1
+        base = np.floor(tot.astype(np.float64) * ratio).astype(np.int64)
+        for off in (-1, 0, 1):
+            a = np.maximum(base + off, 1)
+            want = a.astype(np.float64) >= tot.astype(np.float64) * ratio
+            got, near = _geom_ok(a, tot, st)
+            assert not np.asarray(near).any()
+            assert np.array_equal(np.asarray(got), want), ratio
+
+
 def test_device2_hpc_unsupported():
     cfg = _cfg()
     cfg.index.is_hpc = True
