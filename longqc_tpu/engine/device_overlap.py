@@ -172,32 +172,44 @@ def _flatten_sketch(emit, hsh, pos, strand, global_ids, *, M):
 
 @jax.jit
 def _index_sort(h, rid, ps, cnt):
-    """Sort flat minimizer entries by (hash, rid, ps); compute the
-    weighted occurrence prefix and per-key weighted counts.
+    """Sort flat minimizer entries by (hash, rid, ps), then expand
+    duplicate emissions (cnt > 1) into repeated slots so downstream
+    lookups are plain gathers.
 
     Equivalent to MinimizerIndex's np.lexsort + np.unique
-    (overlap_host.py:52-61), with duplicate emissions carried as per-
-    slot counts instead of repeated slots.
+    (overlap_host.py:52-61). Expansion runs once per part: slot starts
+    scatter into the weighted space, then a running max fills the gaps
+    (duplicates are rare, so the expanded array barely grows — it is
+    truncated back to the input width, flagging overflow).
     """
     hs, rids, pss, cnts = jax.lax.sort((h, rid, ps, cnt), dimension=0,
                                        num_keys=3, is_stable=False)
     valid = hs != INF32
-    wsum = jnp.cumsum(cnts, axis=0).astype(jnp.int32)
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), hs[:-1]])
-    is_start = valid & (hs != prev)
-    n_keys = jnp.sum(is_start).astype(jnp.int32)
     N = h.shape[0]
+    wsum = jnp.cumsum(cnts, axis=0).astype(jnp.int32)
+    n_exp_total = wsum[-1]
+    # expansion map: slot i owns weighted positions [wsum[i-1], wsum[i])
+    wstart = jnp.concatenate([jnp.zeros((1,), jnp.int32), wsum[:-1]])
     pos = jnp.arange(N, dtype=jnp.int32)
+    seed = jnp.zeros((N,), jnp.int32).at[
+        jnp.where(cnts > 0, wstart, N)].max(pos, mode="drop")
+    exp_src = jax.lax.associative_scan(jnp.maximum, seed)
+    exp_on = pos < n_exp_total
+    ih = jnp.where(exp_on, hs[exp_src], INF32)
+    irid = jnp.where(exp_on, rids[exp_src], 0)
+    ips = jnp.where(exp_on, pss[exp_src], 0)
+    overflow = n_exp_total > N
+
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ih[:-1]])
+    is_start = (ih != INF32) & (ih != prev)
+    n_keys = jnp.sum(is_start).astype(jnp.int32)
     spos = jnp.sort(jnp.where(is_start, pos, INF32))
     spos_next = jnp.concatenate([spos[1:], jnp.full((1,), INF32,
                                                     jnp.int32)])
-    safe = jnp.clip(spos, 0, N - 1)
-    safe_next = jnp.clip(jnp.where(spos_next == INF32, N, spos_next),
-                         1, N)
-    w_before = jnp.where(safe > 0, wsum[jnp.clip(safe - 1, 0, N - 1)], 0)
-    w_end = wsum[safe_next - 1]
-    key_counts = jnp.where(spos != INF32, w_end - w_before, INF32)
-    return hs, rids, pss, wsum, key_counts, n_keys
+    safe_next = jnp.where(spos_next == INF32,
+                          jnp.minimum(n_exp_total, N), spos_next)
+    key_counts = jnp.where(spos != INF32, safe_next - spos, INF32)
+    return ih, irid, ips, key_counts, n_keys, overflow
 
 
 @jax.jit
@@ -229,26 +241,21 @@ def _group_expand(qcnt, n_slots, *, M2):
 # the per-(part, group) programs
 
 
-def _lookup_occ(ih, iwsum, qh):
-    """Per sketch slot: weighted occurrence count and start offset into
-    the weighted expansion space."""
+@functools.partial(jax.jit, static_argnames=("M",))
+def _count_anchors(ih, mid_occ, qh, e_src, *, M):
+    """Index lookup per sketch slot plus the pre-drop anchor count per
+    row (for A-bucket selection). The occ/left arrays feed _step so the
+    binary searches run once per (part, group)."""
     left = jnp.searchsorted(ih, qh, side="left").astype(jnp.int32)
     right = jnp.searchsorted(ih, qh, side="right").astype(jnp.int32)
-    N = ih.shape[0]
-    w_before = jnp.where(left > 0, iwsum[jnp.clip(left - 1, 0, N - 1)], 0)
-    w_end = jnp.where(right > 0, iwsum[jnp.clip(right - 1, 0, N - 1)], 0)
-    return w_end - w_before, w_before
-
-
-@functools.partial(jax.jit, static_argnames=("st",))
-def _count_anchors(ih, iwsum, mid_occ, qh, e_src, st: StepStatic):
-    """Pre-drop anchor count per row (for A-bucket selection)."""
-    occ_slot, _ = _lookup_occ(ih, iwsum, qh)
-    occ_pad = jnp.concatenate(
-        [occ_slot, jnp.zeros((st.Q, 1), jnp.int32)], axis=1)
-    occ_e = jnp.take_along_axis(occ_pad, e_src, axis=1)
-    kept = (occ_e < mid_occ) & (e_src < st.M)
-    return jnp.sum(jnp.where(kept, occ_e, 0), axis=1).astype(jnp.int32)
+    occ_slot = right - left
+    Q = qh.shape[0]
+    pad1 = jnp.zeros((Q, 1), jnp.int32)
+    occ_e = jnp.take_along_axis(
+        jnp.concatenate([occ_slot, pad1], axis=1), e_src, axis=1)
+    kept = (occ_e < mid_occ) & (e_src < M)
+    n_q = jnp.sum(jnp.where(kept, occ_e, 0), axis=1).astype(jnp.int32)
+    return n_q, occ_slot, left
 
 
 def _geom_ok(a, total, st: StepStatic):
@@ -336,7 +343,8 @@ def _geom_ok(a, total, st: StepStatic):
 
 @functools.partial(jax.jit, static_argnames=("st",),
                    donate_argnames=("lam", "lam2", "avgk_set", "m_cnts"))
-def _step(ih, irid, ips, iwsum, seq_lens, rid_rank, mid_occ,
+def _step(ih, irid, ips, seq_lens, rid_rank, mid_occ,
+          occ_slot, left_slot,
           qh, qpos, qstrand, e_src, n_exp, qlen, qrank, qbisect, qvalid,
           lam, lam2, avgk_set, m_cnts, limbs5,
           st: StepStatic):
@@ -346,13 +354,13 @@ def _step(ih, irid, ips, iwsum, seq_lens, rid_rank, mid_occ,
     rows = jax.lax.broadcasted_iota(jnp.int32, (Q, A), 0)
     k32 = jnp.int32(st.k)
 
-    # --- seed lookup & kept-minimizer list (lqmap.c:140-205)
-    occ_slot, wstart_slot = _lookup_occ(ih, iwsum, qh)
+    # --- seed lookup & kept-minimizer list (lqmap.c:140-205);
+    # occ/left come precomputed from _count_anchors
     pad1 = jnp.zeros((Q, 1), jnp.int32)
     occ_e = jnp.take_along_axis(
         jnp.concatenate([occ_slot, pad1], axis=1), e_src, axis=1)
-    wstart_e = jnp.take_along_axis(
-        jnp.concatenate([wstart_slot, pad1], axis=1), e_src, axis=1)
+    left_e = jnp.take_along_axis(
+        jnp.concatenate([left_slot, pad1], axis=1), e_src, axis=1)
     pos_e = jnp.take_along_axis(
         jnp.concatenate([qpos, pad1], axis=1), e_src, axis=1)
     strand_e = jnp.take_along_axis(
@@ -378,11 +386,11 @@ def _step(ih, irid, ips, iwsum, seq_lens, rid_rank, mid_occ,
     t_in_e = a_ids - jnp.take_along_axis(ce_pad, e_of_a, axis=1)
     valid_a = a_ids < n_q[:, None]
     e_clip = jnp.clip(e_of_a, 0, M2 - 1)
-    w0 = jnp.take_along_axis(wstart_e, e_clip, axis=1)
-    slot = jnp.searchsorted(iwsum, (w0 + t_in_e).reshape(-1),
-                            side="right").astype(jnp.int32).reshape(Q, A)
+    # duplicates were expanded at index build: the t-th occurrence of an
+    # entry is a direct offset from its run start
     N = ih.shape[0]
-    slot = jnp.clip(slot, 0, N - 1)
+    slot = jnp.clip(jnp.take_along_axis(left_e, e_clip, axis=1) + t_in_e,
+                    0, N - 1)
     rid_a = irid[slot]
     ps_a = ips[slot]
     rpos = ps_a >> 1
@@ -796,17 +804,19 @@ class _PartIndex:
             flats, total = build_flats(1)
         N_pad = _pow2_at_least(max(total, 1), 1 << 16)
 
-        def cat(j, fill):
-            parts_ = [f[j] for f in flats]
-            parts_.append(jnp.full((N_pad - total,), fill, jnp.int32))
-            return jnp.concatenate(parts_)
+        while True:
+            def cat(j, fill):
+                parts_ = [f[j] for f in flats]
+                parts_.append(jnp.full((N_pad - total,), fill, jnp.int32))
+                return jnp.concatenate(parts_)
 
-        h = cat(0, INF32)
-        rid = cat(1, 0)
-        ps = cat(2, 0)
-        cnt = cat(3, 0)
-        (self.ih, self.irid, self.ips, self.iwsum,
-         key_counts, n_keys) = _index_sort(h, rid, ps, cnt)
+            (self.ih, self.irid, self.ips,
+             key_counts, n_keys, overflow) = _index_sort(
+                cat(0, INF32), cat(1, 0), cat(2, 0), cat(3, 0))
+            if not bool(overflow):
+                break
+            # duplicate expansion outgrew the pad: widen and redo
+            N_pad *= 2
         if mid_occ_fixed:
             self.mid_occ = jnp.asarray(np.int32(mid_occ_fixed))
         else:
@@ -908,7 +918,6 @@ class DeviceOverlapEngine:
 
     def _run_group_part(self, g, pidx, progress):
         t0 = time.time()
-        st0 = self._static(g, A_BUCKETS[0])
         qrank = np.full(GROUP_Q, -1, np.int32)
         qbisect = np.zeros(GROUP_Q, np.int32)
         for r, qi in enumerate(g.qids):
@@ -919,8 +928,9 @@ class DeviceOverlapEngine:
         qrank_d = jnp.asarray(qrank)
         qbisect_d = jnp.asarray(qbisect)
 
-        n_q = np.asarray(_count_anchors(pidx.ih, pidx.iwsum, pidx.mid_occ,
-                                        g.qh, g.e_src, st0))
+        n_q_d, occ_slot, left_slot = _count_anchors(
+            pidx.ih, pidx.mid_occ, g.qh, g.e_src, M=g.M)
+        n_q = np.asarray(n_q_d)
         n_max = int(n_q[:len(g.qids)].max()) if len(g.qids) else 0
         A = next((a for a in A_BUCKETS if n_max <= a), A_BUCKETS[-1])
         st = self._static(g, A)
@@ -928,8 +938,8 @@ class DeviceOverlapEngine:
         t0 = time.time()
         (g.lam, g.lam2, g.avgk_set, g.m_cnts, flags, events,
          ev_n) = _step(
-            pidx.ih, pidx.irid, pidx.ips, pidx.iwsum, pidx.seq_lens,
-            pidx.rid_rank, pidx.mid_occ,
+            pidx.ih, pidx.irid, pidx.ips, pidx.seq_lens,
+            pidx.rid_rank, pidx.mid_occ, occ_slot, left_slot,
             g.qh, g.qpos, g.qstrand, g.e_src, g.n_exp,
             g.qlen, qrank_d, qbisect_d, g.qvalid,
             g.lam, g.lam2, g.avgk_set, g.m_cnts, self.limbs5, st)
