@@ -241,8 +241,7 @@ def _group_expand(qcnt, n_slots, *, M2):
 # the per-(part, group) programs
 
 
-@functools.partial(jax.jit, static_argnames=("M",))
-def _count_anchors(ih, mid_occ, qh, e_src, *, M):
+def _count_anchors_impl(ih, mid_occ, qh, e_src, *, M):
     """Index lookup per sketch slot plus the pre-drop anchor count per
     row (for A-bucket selection). The occ/left arrays feed _step so the
     binary searches run once per (part, group)."""
@@ -256,6 +255,10 @@ def _count_anchors(ih, mid_occ, qh, e_src, *, M):
     kept = (occ_e < mid_occ) & (e_src < M)
     n_q = jnp.sum(jnp.where(kept, occ_e, 0), axis=1).astype(jnp.int32)
     return n_q, occ_slot, left
+
+
+_count_anchors = functools.partial(jax.jit, static_argnames=("M",))(
+    _count_anchors_impl)
 
 
 def _geom_ok(a, total, st: StepStatic):
@@ -341,16 +344,20 @@ def _geom_ok(a, total, st: StepStatic):
     return ok, jnp.ones_like(ok)
 
 
-@functools.partial(jax.jit, static_argnames=("st",),
-                   donate_argnames=("lam", "lam2", "avgk_set", "m_cnts"))
-def _step(ih, irid, ips, seq_lens, rid_rank, mid_occ,
-          occ_slot, left_slot,
-          qh, qpos, qstrand, e_src, n_exp, qlen, qrank, qbisect, qvalid,
-          lam, lam2, avgk_set, m_cnts, limbs5,
-          st: StepStatic):
+def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
+               occ_slot, left_slot,
+               qh, qpos, qstrand, e_src, n_exp, qlen, qrank, qbisect,
+               qvalid, lam, lam2, avgk_set, m_cnts, limbs5,
+               st: StepStatic):
     """One (part x query-group) update. Returns committed state, interval
-    events (Q, EOUT) + counts, and per-row flags for this call."""
-    Q, M, M2, A = st.Q, st.M, st.M2, st.A
+    events (Q, EOUT) + counts, and per-row flags for this call.
+
+    Q is taken from the runtime shape (not st.Q) so the same body serves
+    both the single-device jit and the shard_map lane-sharded wrapper
+    (parallel/mesh.overlap P8 scaling: index replicated, lanes sharded).
+    """
+    Q = qh.shape[0]
+    M, M2, A = st.M, st.M2, st.A
     rows = jax.lax.broadcasted_iota(jnp.int32, (Q, A), 0)
     k32 = jnp.int32(st.k)
 
@@ -612,6 +619,49 @@ def _step(ih, irid, ips, seq_lens, rid_rank, mid_occ,
             events, ev_n.astype(jnp.int32))
 
 
+_step = functools.partial(jax.jit, static_argnames=("st",),
+                          donate_argnames=("lam", "lam2", "avgk_set",
+                                           "m_cnts"))(_step_impl)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_step(mesh, st: StepStatic):
+    """Lane-sharded _step over a device mesh: the part index (and limbs)
+    ride replicated; every per-lane array is split over the data axis.
+    No collectives are needed inside — per-read accumulators are
+    shard-local by construction (minimap2-coverage.c:434-444 ownership
+    model) and only merge at finalize on host."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rep = P()
+    lane1 = P("data")
+    lane2 = P("data", None)
+    in_specs = (rep, rep, rep, rep, rep, rep,          # index
+                lane2, lane2,                          # occ/left
+                lane2, lane2, lane2, lane2, lane1,     # qh..n_exp
+                lane1, lane1, lane1, lane1,            # qlen..qvalid
+                lane1, lane1, lane1, lane2, rep)       # state + limbs
+    out_specs = (lane1, lane1, lane1, lane2, lane1, lane2, lane1)
+    fn = shard_map(functools.partial(_step_impl, st=st), mesh=mesh,
+                   in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_count(mesh, M):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = shard_map(functools.partial(_count_anchors_impl, M=M),
+                   mesh=mesh,
+                   in_specs=(P(), P(), P("data", None), P("data", None)),
+                   out_specs=(P("data"), P("data", None), P("data", None)),
+                   check_rep=False)
+    return jax.jit(fn)
+
+
 @jax.jit
 def _finalize_group(lam, lam2, m_cnts, n_exp):
     """Per-row div-statistics inputs (minimap2-coverage.c:545-563):
@@ -678,15 +728,17 @@ def _pow2_at_least(n, lo):
 
 
 class _Group:
-    """A batch of GROUP_Q query lanes sharing one length bucket."""
+    """A batch of query lanes sharing one length bucket (GROUP_Q lanes
+    per mesh shard)."""
 
-    def __init__(self, qids, reads, k, w, interpret):
+    def __init__(self, qids, reads, k, w, interpret, lanes=GROUP_Q):
+        self.lanes = lanes
         self.qids = qids                     # lane -> global query index
         self.blen = _len_bucket(max(len(reads[i][1]) for i in qids))
         self.M = self.blen // 2
         self.M2 = self.blen
         rows = [reads[i] for i in qids]
-        while len(rows) < GROUP_Q:
+        while len(rows) < lanes:
             rows.append(["\0pad", "A" * k, ""])
         batch = pack_reads(rows, max_len=self.blen, pad_to=self.blen,
                            with_quals=False)
@@ -700,21 +752,21 @@ class _Group:
         self.qcnt = qcnt
         self.qlen = jnp.asarray(
             np.array([len(reads[i][1]) for i in qids]
-                     + [0] * (GROUP_Q - len(qids)), np.int32))
+                     + [0] * (lanes - len(qids)), np.int32))
         # rows whose compaction or expansion overflowed (adversarial
         # periodic reads) are permanently host-processed
         n_np = np.asarray(self.n_slots)[:len(qids)]
         exp_np = np.asarray(self.n_exp)[:len(qids)]
-        self.perm_host = np.zeros(GROUP_Q, bool)
+        self.perm_host = np.zeros(lanes, bool)
         self.perm_host[:len(qids)] = (n_np > self.M) | (exp_np > self.M2)
-        qv = np.zeros(GROUP_Q, np.int32)
+        qv = np.zeros(lanes, np.int32)
         qv[:len(qids)] = np.where(self.perm_host[:len(qids)], 0, 1)
         self.qvalid = jnp.asarray(qv)
         # state
-        self.lam = jnp.zeros((GROUP_Q,), jnp.int64)
-        self.lam2 = jnp.zeros((GROUP_Q,), jnp.int64)
-        self.avgk_set = jnp.zeros((GROUP_Q,), jnp.int32)
-        self.m_cnts = jnp.zeros((GROUP_Q, self.M2), jnp.int32)
+        self.lam = jnp.zeros((lanes,), jnp.int64)
+        self.lam2 = jnp.zeros((lanes,), jnp.int64)
+        self.avgk_set = jnp.zeros((lanes,), jnp.int32)
+        self.m_cnts = jnp.zeros((lanes, self.M2), jnp.int32)
         self._host_sketch = None
 
     def host_sketch_lists(self, k, w, reads):
@@ -729,7 +781,7 @@ class _Group:
             qcnt = np.asarray(self.qcnt)
             ns = np.asarray(self.n_slots)
             out = []
-            for r in range(GROUP_Q):
+            for r in range(self.lanes):
                 if r < len(self.qids) and self.perm_host[r]:
                     out.append(oh.sketch_reads_device(
                         [reads[self.qids[r]]], k, w)[0])
@@ -849,7 +901,13 @@ class DeviceOverlapEngine:
     executable spec of minimap2-coverage).
     """
 
-    def __init__(self, cfg: OverlapConfig, query_reads, interpret=None):
+    def __init__(self, cfg: OverlapConfig, query_reads, interpret=None,
+                 mesh=None, lanes_per_shard=GROUP_Q):
+        """mesh: optional jax.sharding.Mesh with a "data" axis. Query
+        lanes are sharded over it and the part index rides replicated
+        (the reference's only scale axis — per-read-owned accumulators,
+        minimap2-coverage.c:434-444). Each shard gets lanes_per_shard
+        lanes (128 = one full vreg lane width on TPU)."""
         if cfg.index.is_hpc:
             raise NotImplementedError(
                 "HPC sketch (pb-hifi / --filter) uses the host path")
@@ -863,16 +921,19 @@ class DeviceOverlapEngine:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
+        self.mesh = mesh
+        self.lanes = lanes_per_shard * (mesh.devices.size if mesh is not None
+                                        else 1)
         self.queries = query_reads
         self.groups = []
         by_bucket = {}
         for i, r in enumerate(query_reads):
             by_bucket.setdefault(_len_bucket(len(r[1])), []).append(i)
         for blen, idxs in sorted(by_bucket.items()):
-            for off in range(0, len(idxs), GROUP_Q):
-                self.groups.append(_Group(idxs[off:off + GROUP_Q],
+            for off in range(0, len(idxs), self.lanes):
+                self.groups.append(_Group(idxs[off:off + self.lanes],
                                           query_reads, self.k, self.w,
-                                          interpret))
+                                          interpret, lanes=self.lanes))
         self.events = [[] for _ in query_reads]   # flat tagged endpoints
         # persistent host ReadStates for permanently host-processed rows
         self.host_state = {}
@@ -892,7 +953,7 @@ class DeviceOverlapEngine:
         f = self.cfg.flt
         p_hi, p_lo, p_s = _ratio_limbs(f.min_ratio)
         return StepStatic(
-            Q=GROUP_Q, M=g.M, M2=g.M2, A=A, k=self.k,
+            Q=self.lanes, M=g.M, M2=g.M2, A=A, k=self.k,
             max_gap=m.max_gap, bw=m.bw, max_skip=m.max_chain_skip,
             min_cnt=m.min_cnt, min_sc=m.min_chain_score,
             min_sc_m=m.min_score_med, min_sc_g=m.min_score_good,
@@ -918,8 +979,8 @@ class DeviceOverlapEngine:
 
     def _run_group_part(self, g, pidx, progress):
         t0 = time.time()
-        qrank = np.full(GROUP_Q, -1, np.int32)
-        qbisect = np.zeros(GROUP_Q, np.int32)
+        qrank = np.full(self.lanes, -1, np.int32)
+        qbisect = np.zeros(self.lanes, np.int32)
         for r, qi in enumerate(g.qids):
             qname = self.queries[qi][0]
             qrank[r] = pidx.name_rank.get(qname, -1)
@@ -928,21 +989,29 @@ class DeviceOverlapEngine:
         qrank_d = jnp.asarray(qrank)
         qbisect_d = jnp.asarray(qbisect)
 
-        n_q_d, occ_slot, left_slot = _count_anchors(
-            pidx.ih, pidx.mid_occ, g.qh, g.e_src, M=g.M)
+        if self.mesh is not None:
+            count_fn = _sharded_count(self.mesh, g.M)
+        else:
+            count_fn = functools.partial(_count_anchors, M=g.M)
+        n_q_d, occ_slot, left_slot = count_fn(
+            pidx.ih, pidx.mid_occ, g.qh, g.e_src)
         n_q = np.asarray(n_q_d)
         n_max = int(n_q[:len(g.qids)].max()) if len(g.qids) else 0
         A = next((a for a in A_BUCKETS if n_max <= a), A_BUCKETS[-1])
         st = self._static(g, A)
         self.phase_s["count"] += time.time() - t0
         t0 = time.time()
+        if self.mesh is not None:
+            step_fn = _sharded_step(self.mesh, st)
+        else:
+            step_fn = functools.partial(_step, st=st)
         (g.lam, g.lam2, g.avgk_set, g.m_cnts, flags, events,
-         ev_n) = _step(
+         ev_n) = step_fn(
             pidx.ih, pidx.irid, pidx.ips, pidx.seq_lens,
             pidx.rid_rank, pidx.mid_occ, occ_slot, left_slot,
             g.qh, g.qpos, g.qstrand, g.e_src, g.n_exp,
             g.qlen, qrank_d, qbisect_d, g.qvalid,
-            g.lam, g.lam2, g.avgk_set, g.m_cnts, self.limbs5, st)
+            g.lam, g.lam2, g.avgk_set, g.m_cnts, self.limbs5)
         self.n_device_calls += 1
 
         flags_np = np.asarray(flags)
@@ -988,7 +1057,7 @@ class DeviceOverlapEngine:
         avgk = np.asarray(g.avgk_set).copy()
         mcn = np.asarray(g.m_cnts).copy()
         n_exp_np = np.asarray(g.n_exp)
-        mask = np.zeros(GROUP_Q, np.int32)
+        mask = np.zeros(self.lanes, np.int32)
         for r in rows:
             qi = g.qids[r]
             self.n_host_fallback += 1
@@ -1074,10 +1143,13 @@ class DeviceOverlapEngine:
 
 
 def overlap_run_device2(target_iter, query_reads, cfg: OverlapConfig,
-                        progress=None, interpret=None):
+                        progress=None, interpret=None, mesh=None,
+                        lanes_per_shard=GROUP_Q):
     """Device-resident overlap run -> 9-column TSV rows (row-identical
-    to overlap_host.overlap_run)."""
-    eng = DeviceOverlapEngine(cfg, query_reads, interpret=interpret)
+    to overlap_host.overlap_run). With mesh, query lanes shard over the
+    mesh's "data" axis (index replicated)."""
+    eng = DeviceOverlapEngine(cfg, query_reads, interpret=interpret,
+                              mesh=mesh, lanes_per_shard=lanes_per_shard)
     rows = eng.run(target_iter, progress=progress)
     if eng.n_host_fallback:
         logger.info("device overlap: %d calls, %d host-fixed rows",

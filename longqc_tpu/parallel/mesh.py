@@ -1,22 +1,21 @@
 """Device-mesh data parallelism for the overlap pipeline.
 
-Scaling model (SURVEY.md §2.3 P8): the sampled-read minimizer index is
-replicated per host; the query/target read stream is sharded over the
-mesh's data axis; per-read outputs stay shard-local; scalar/histogram
-statistics merge with psum over ICI.
-
-The QC workload has no model weights — the only "model-parallel-like"
-axis is replicated-index + sharded-reads, i.e. pure data parallelism;
-shard_map + psum is the whole collective story.
+Scaling model (SURVEY.md §2.3 P8, minimap2-coverage.c:434-444): the
+reference's only scale axis is per-read-owned accumulator slots — each
+thread owns its reads' lambda/m_cnts — with the sample index shared.
+The mesh mapping is the same thing over chips: the part minimizer index
+rides replicated, query lanes shard over the "data" axis, and per-read
+state (lam/lam2/m_cnts/interval events) stays shard-local until the
+host-side finalize. No collectives are needed in steady state; the QC
+workload has no model weights, so shard_map data parallelism is the
+whole story (engine/device_overlap._sharded_step).
 """
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh
+
+_BASES = "ACGT"
 
 
 def make_mesh(n_devices=None, axis="data"):
@@ -26,91 +25,57 @@ def make_mesh(n_devices=None, axis="data"):
     return Mesh(np.array(devs), (axis,))
 
 
-def sharded_sketch_stats(mesh, codes, lengths, *, w, k):
-    """Data-parallel sketch: read rows sharded, global minimizer count
-    psum-merged. Returns (per-read counts, global total)."""
-    from longqc_tpu.ops.sketch import sketch_batch
-
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P("data", None), P("data")),
-             out_specs=(P("data"), P()))
-    def step(codes, lengths):
-        res = sketch_batch(codes, lengths, w=w, k=k)
-        per_read = jnp.sum(res["emit"], axis=1, dtype=jnp.int64)
-        total = jax.lax.psum(jnp.sum(per_read), "data")
-        return per_read, total[None]
-
-    return jax.jit(step)(codes, lengths)
-
-
-def sharded_chain_step(mesh, ax_hi, ax_lo, aq, aspan, n_anchors, pen_tab, *,
-                       J=64, max_dist=10000, bw=500, max_skip=25):
-    """Data-parallel chain-DP: query rows sharded over the data axis,
-    per-row f/p/v shard-local, plus a psum'd global score histogram
-    (the cross-shard merge the full pipeline uses for coverage stats).
-    """
-    from longqc_tpu.ops.chain import chain_dp_batch
-
-    nbins = 16
-
-    from longqc_tpu.ops.chain import make_carry
-
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P("data", None), P("data", None), P("data", None),
-                       P("data", None), P("data"), P("data", None)),
-             out_specs=(P("data", None), P("data", None),
-                        P("data", None), P("data"), P()))
-    def step(ax_hi, ax_lo, aq, aspan, n_anchors, pen_tab):
-        carry = tuple(jnp.asarray(c) + (n_anchors[:1] * 0)[:, None]
-                      if c.ndim == 2 else
-                      jnp.asarray(c) | ((n_anchors[:1] * 0) > 0)
-                      for c in make_carry(ax_hi.shape[0], J))
-        f, p, v, flags, _ = chain_dp_batch(ax_hi, ax_lo, aq, aspan,
-                                           n_anchors, pen_tab, carry,
-                                           jnp.int32(0), J=J,
-                                           max_dist=max_dist,
-                                           bw=bw, max_skip=max_skip)
-        best = jnp.max(f, axis=1)
-        hist = jnp.zeros((nbins,), jnp.int32).at[
-            jnp.clip(best // 32, 0, nbins - 1)].add(1)
-        hist = jax.lax.psum(hist, "data")
-        return f, p, v, flags, hist
-
-    return jax.jit(step)(ax_hi, ax_lo, aq, aspan, n_anchors, pen_tab)
+def _synthetic_reads(rng, genome_n, n_reads, min_len, max_len, err):
+    """Tiny deterministic synthetic read set (mutated genome substrings
+    plus junk) for the dryrun; mirrors tests/util_synth.sample_reads."""
+    genome = "".join(_BASES[i] for i in rng.randint(0, 4, size=genome_n))
+    comp = str.maketrans("ACGT", "TGCA")
+    reads = []
+    for i in range(n_reads):
+        ln = rng.randint(min_len, max_len)
+        if rng.random_sample() < 0.1:
+            seq = "".join(_BASES[j] for j in rng.randint(0, 4, size=ln))
+        else:
+            start = rng.randint(0, max(1, genome_n - ln))
+            seq = genome[start:start + ln]
+            if rng.random_sample() < 0.5:
+                seq = seq.translate(comp)[::-1]
+            out = []
+            for ch in seq:
+                r = rng.random_sample()
+                if r < err * 0.5:
+                    out.append(_BASES[rng.randint(0, 4)])
+                elif r < err * 0.75:
+                    pass
+                elif r < err:
+                    out.append(ch)
+                    out.append(_BASES[rng.randint(0, 4)])
+                else:
+                    out.append(ch)
+            seq = "".join(out)
+        qual = "".join(chr(33 + q) for q in rng.randint(3, 41,
+                                                        size=len(seq)))
+        reads.append(["read%05d" % i, seq, qual])
+    return reads
 
 
-def dryrun(n_devices: int) -> None:
-    """One full data-parallel step of the overlap compute (sketch +
-    chain DP + collective stat merge) on tiny shapes over an
-    n_devices mesh."""
+def overlap_dryrun(n_devices: int) -> None:
+    """Run the PRODUCTION overlap engine lane-sharded over an n-device
+    mesh (index replicated, query lanes split on the "data" axis) and
+    assert its rows are identical to the single-device host spec —
+    the real training-step analog of this framework, not a demo."""
+    from longqc_tpu.config import OverlapConfig, IndexOpt, MapOpt, FltOpt
+    from longqc_tpu.engine import overlap_host as oh
+    from longqc_tpu.engine.device_overlap import overlap_run_device2
+
     mesh = make_mesh(n_devices)
-    rng = np.random.RandomState(0)
-
-    # stage 1: sharded sketch
-    n = n_devices * 2
-    codes = rng.randint(0, 4, size=(n, 256)).astype(np.uint8)
-    lengths = np.full((n,), 256, np.int32)
-    per_read, total = sharded_sketch_stats(mesh, codes, lengths, w=5, k=12)
-    per_read.block_until_ready()
-    assert int(total[0]) == int(np.sum(np.asarray(per_read)))
-
-    # stage 2: sharded chain DP over synthetic diagonal-ish anchors
-    Q = n_devices * 2
-    A = 64
-    bw = 500
-    ax_hi = np.zeros((Q, A), np.int32)
-    ax_lo = np.zeros((Q, A), np.int32)
-    aq = np.zeros((Q, A), np.int32)
-    for r in range(Q):
-        t = np.cumsum(rng.randint(1, 40, size=A))
-        ax_lo[r] = t.astype(np.int32)
-        aq[r] = (t + rng.randint(-10, 10, size=A)).astype(np.int32)
-    aspan = np.full((Q, A), 12, np.int32)
-    n_anchors = np.full((Q,), A, np.int32)
-    from longqc_tpu.ops.chain import gap_penalty_table
-    pen = np.broadcast_to(gap_penalty_table(np.float32(12.0), bw),
-                          (Q, bw + 1)).copy()
-    f, p, v, flags, hist = sharded_chain_step(
-        mesh, ax_hi, ax_lo, aq, aspan, n_anchors, pen, bw=bw)
-    f.block_until_ready()
-    assert int(np.asarray(hist).sum()) == Q
+    rng = np.random.RandomState(42)
+    reads = _synthetic_reads(rng, 12000, 72, 500, 1400, 0.12)
+    queries = reads[:4 * n_devices]
+    cfg = OverlapConfig(index=IndexOpt(k=12, w=5),
+                        map=MapOpt(min_score_med=80, min_score_good=160),
+                        flt=FltOpt(min_ovlp=0))
+    rows = overlap_run_device2(list(reads), queries, cfg, mesh=mesh,
+                               lanes_per_shard=8)
+    rows_host = oh.overlap_run(list(reads), queries, cfg)
+    assert rows == rows_host, "sharded engine rows diverge from host spec"
