@@ -961,10 +961,12 @@ class DeviceOverlapEngine:
             covt=self.cfg.covt, ava=self.cfg.ava,
             p_hi=p_hi, p_lo=p_lo, p_s=p_s, interpret=self.interpret)
 
-    def run(self, target_iter, progress=None):
+    def run(self, target_iter, progress=None, parts=None):
         cfg = self.cfg
-        for part in oh.iter_index_parts(target_iter,
-                                        cfg.index.batch_size):
+        part_iter = (iter(parts) if parts is not None
+                     else oh.iter_index_parts(target_iter,
+                                              cfg.index.batch_size))
+        for part in part_iter:
             t0 = time.time()
             pidx = _PartIndex(part, self.k, self.w, cfg.map.mid_occ,
                               cfg.map.mid_occ_frac)
@@ -1144,13 +1146,13 @@ class DeviceOverlapEngine:
 
 def overlap_run_device2(target_iter, query_reads, cfg: OverlapConfig,
                         progress=None, interpret=None, mesh=None,
-                        lanes_per_shard=GROUP_Q):
+                        lanes_per_shard=GROUP_Q, parts=None):
     """Device-resident overlap run -> 9-column TSV rows (row-identical
     to overlap_host.overlap_run). With mesh, query lanes shard over the
     mesh's "data" axis (index replicated)."""
     eng = DeviceOverlapEngine(cfg, query_reads, interpret=interpret,
                               mesh=mesh, lanes_per_shard=lanes_per_shard)
-    rows = eng.run(target_iter, progress=progress)
+    rows = eng.run(target_iter, progress=progress, parts=parts)
     if eng.n_host_fallback:
         logger.info("device overlap: %d calls, %d host-fixed rows",
                     eng.n_device_calls, eng.n_host_fallback)

@@ -192,13 +192,18 @@ class DeviceChainer:
 
 
 def overlap_run_device(target_iter, query_reads, cfg: OverlapConfig,
-                       progress=None, J=64):
+                       progress=None, J=64, parts=None, index_cache=None):
     """Device-path overlap run -> 9-column TSV rows.
 
     Dispatches to the device-resident engine (engine/device_overlap,
     the round-2 hot path) for plain-sketch configs; HPC-sketch runs
     (pb-hifi, spike-in --filter) use the round-1 batched-chainer path.
     Override with LONGQC_OVERLAP_ENGINE=v1|v2.
+
+    parts: pre-grouped part read-lists (the -d prefetch path).
+    index_cache: npz path prefix for host-index persistence (only the
+    batched-chainer path consumes it; the device-resident engine builds
+    its index on device each part, which is cheaper than a host load).
     """
     choice = os.environ.get("LONGQC_OVERLAP_ENGINE", "")
     if choice != "v1" and not cfg.index.is_hpc:
@@ -206,7 +211,7 @@ def overlap_run_device(target_iter, query_reads, cfg: OverlapConfig,
             from longqc_tpu.engine.device_overlap import \
                 overlap_run_device2
             return overlap_run_device2(target_iter, query_reads, cfg,
-                                       progress=progress)
+                                       progress=progress, parts=parts)
         except NotImplementedError:
             if choice == "v2":
                 raise
@@ -214,7 +219,8 @@ def overlap_run_device(target_iter, query_reads, cfg: OverlapConfig,
                         "using the batched-chainer path")
     chainer = DeviceChainer(J=J)
     rows = oh.overlap_run(target_iter, query_reads, cfg,
-                          progress=progress, chain_many=chainer)
+                          progress=progress, chain_many=chainer,
+                          parts=parts, index_cache=index_cache)
     if chainer.n_host_fallback:
         logger.info("chain DP: %d device rows, %d host fallbacks",
                     chainer.n_device, chainer.n_host_fallback)

@@ -23,6 +23,7 @@ Behavioral citations:
 """
 
 import math
+import os
 
 import numpy as np
 
@@ -618,7 +619,8 @@ def iter_index_parts(target_iter, batch_size, mini_batch_size=50_000_000):
 
 
 def overlap_run(target_iter, query_reads, cfg: OverlapConfig,
-                progress=None, chain_many=None):
+                progress=None, chain_many=None, parts=None,
+                index_cache=None, return_states=False):
     """Full engine run -> list of 9-column TSV row strings
     (cf. minimap2-coverage.c:545-617).
 
@@ -627,6 +629,12 @@ def overlap_run(target_iter, query_reads, cfg: OverlapConfig,
     chain_many: optional callable([(ax, ay), ...], map_opt) -> list of
     chain lists; default runs the exact host chain DP per query. The
     device path (engine/overlap.py) passes a batched kernel here.
+    parts: optional pre-grouped list of part read-lists (overrides
+    target_iter streaming; the -d prefetch path).
+    index_cache: optional path prefix for per-part MinimizerIndex npz
+    persistence (the -d tempdb equivalent, longQC.py:266-277; our cache
+    format is npz rather than MMI): part i loads from
+    `{index_cache}.part{i:04d}.npz` when present, else builds and saves.
     """
     k, w = cfg.index.k, cfg.index.w
 
@@ -644,8 +652,17 @@ def overlap_run(target_iter, query_reads, cfg: OverlapConfig,
                     for ax, ay in anchor_sets]
 
     group_size = 128  # one full lane width for the fused chain kernel
-    for part in iter_index_parts(target_iter, cfg.index.batch_size):
-        index = build_index(part, k, w, is_hpc=cfg.index.is_hpc)
+    part_iter = (iter(parts) if parts is not None
+                 else iter_index_parts(target_iter, cfg.index.batch_size))
+    for part_i, part in enumerate(part_iter):
+        cache_path = ("%s.part%04d.npz" % (index_cache, part_i)
+                      if index_cache else None)
+        if cache_path and os.path.exists(cache_path):
+            index = MinimizerIndex.load(cache_path)
+        else:
+            index = build_index(part, k, w, is_hpc=cfg.index.is_hpc)
+            if cache_path:
+                index.save(cache_path)
         mid_occ = cfg.map.mid_occ or index.mid_occ(cfg.map.mid_occ_frac)
         fopt = {
             "seq_lens": index.seq_lens,
@@ -699,7 +716,17 @@ def overlap_run(target_iter, query_reads, cfg: OverlapConfig,
         vc.sort()
         rows.append(emit_row(q[0], len(q[1]), q[2], st.lam, st.lam2, div,
                              vc, cfg.flt.min_coverage, cfg.filter_mode))
+    if return_states:
+        return rows, states, q_sketches
     return rows
+
+
+def overlap_run_with_states(target_iter, query_reads, cfg, **kw):
+    """overlap_run returning (rows, per-read ReadStates, query sketches)
+    — the -z minimizer-count mode needs the m_cnts state
+    (minimap2-coverage.c:478-543)."""
+    return overlap_run(target_iter, query_reads, cfg,
+                       return_states=True, **kw)
 
 
 def div_score(mv_n, n_match, avg_k):

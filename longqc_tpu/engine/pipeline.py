@@ -55,8 +55,21 @@ def _control_ref_path(sequel):
 def run_sampleqc(input_path, out_dir, preset_name, *, nsample=5000,
                  transcript=False, suffix=None, trim_out=None,
                  adp5=None, adp3=None, fast=False, mem=0.5,
-                 index_size="4G", short=False, n_devices=None):
-    """Run sample QC. Returns the JSON dict of QC values."""
+                 index_size="4G", short=False, n_devices=None,
+                 db=False, ncpu=4, force_pb=None, force_sequel=None,
+                 force_ont=None):
+    """Run sample QC. Returns the JSON dict of QC values.
+
+    db: the -d/--db flag (longQC.py:266-277) — prefetch the target read
+    stream and build/persist the overlap index (npz parts under
+    analysis/minimap2/) concurrently with the chunk-QC loop, so the
+    overlap stage starts with parts ready.
+    ncpu: advisory host-thread budget (-p; the reference spends these on
+    subprocess pools — here stages are in-process device programs, so
+    only host-side I/O pools consult it).
+    force_pb/force_sequel/force_ont: the hidden expert flags
+    (longQC.py:942-947) overriding the preset's platform markers.
+    """
     if not os.path.exists(input_path):
         raise FileNotFoundError(input_path)
     if not 0 < nsample <= C.MAX_N_SAMPLE:
@@ -65,6 +78,14 @@ def run_sampleqc(input_path, out_dir, preset_name, *, nsample=5000,
         raise FileExistsError("output path %s already exists" % out_dir)
 
     preset = C.PRESETS[preset_name]
+    if force_pb or force_sequel:
+        # reference semantics: the preset table only SETS these markers
+        # (longQC.py:174-214), so expert flags are additive; --ont has
+        # no live effect in the reference either (":474" is commented)
+        import dataclasses
+        preset = dataclasses.replace(
+            preset, pb=preset.pb or bool(force_pb),
+            sequel=preset.sequel or bool(force_sequel))
     adp5 = adp5 or preset.adp5
     adp3 = adp3 or preset.adp3
     sfx = ("_" + suffix) if suffix else ""
@@ -107,6 +128,33 @@ def run_sampleqc(input_path, out_dir, preset_name, *, nsample=5000,
             analysis_dir, "converted_seq_file%s.fastq" % sfx)
 
     logger.info("sampleqc started: %s preset=%s", input_path, preset_name)
+
+    # ---------------- -d index prefetch (longQC.py:266-277) ----------------
+    # build the overlap index concurrently with the chunk-QC loop; the
+    # reference spawns `minimap2-coverage -d tempdb` here. Skipped for
+    # BAM/FAST5 inputs (the fastx conversion happens inside the chunk
+    # loop), exactly like the reference's `args.db and format != 0`.
+    prefetcher = None
+    if db and file_format_code not in (FORMAT_BAM, FORMAT_FAST5):
+        main_cfg = C.overlap_config_for_sample(preset, fast=fast,
+                                               index_size=index_size)
+        specs = [(main_cfg.index.k, main_cfg.index.w,
+                  os.path.join(mm2_dir, "t_db_longqc%s_k%d_w%d"
+                               % (sfx, main_cfg.index.k,
+                                  main_cfg.index.w)))]
+        if short:
+            scfg0 = C.overlap_config_for_sample(preset, fast=fast,
+                                                index_size=index_size,
+                                                short=True)
+            if (scfg0.index.k, scfg0.index.w) != specs[0][:2]:
+                specs.append((scfg0.index.k, scfg0.index.w,
+                              os.path.join(
+                                  mm2_dir, "t_db_longqc%s_k%d_w%d"
+                                  % (sfx, scfg0.index.k, scfg0.index.w))))
+        prefetcher = _IndexPrefetcher(input_path, specs,
+                                      main_cfg.index.batch_size)
+        prefetcher.start()
+        logger.info("index prefetch started (-d): %d spec(s)", len(specs))
 
     # ---------------- chunk loop ----------------
     lm = MaskAccumulator(analysis_dir, suffix=suffix or "")
@@ -218,12 +266,22 @@ def run_sampleqc(input_path, out_dir, preset_name, *, nsample=5000,
                             (FORMAT_BAM, FORMAT_FAST5) else input_path)
 
     logger.info("overlap computation started")
-    rows = overlap_run(target_iter(), s_reads, cfg)
+    parts = cache = None
+    if prefetcher is not None:
+        parts = prefetcher.join()
+        cache = prefetcher.cache_for(cfg.index.k, cfg.index.w)
+        logger.info("index prefetch joined: %d part(s)",
+                    len(parts) if parts else 0)
+    rows = overlap_run(target_iter(), s_reads, cfg,
+                       parts=parts, index_cache=cache)
     if short and ss_reads:
         scfg = C.overlap_config_for_sample(preset, fast=fast,
                                            index_size=index_size,
                                            short=True)
-        rows = rows + overlap_run(target_iter(), ss_reads, scfg)
+        scache = (prefetcher.cache_for(scfg.index.k, scfg.index.w)
+                  if prefetcher is not None else None)
+        rows = rows + overlap_run(target_iter(), ss_reads, scfg,
+                                  parts=parts, index_cache=scache)
     with open(cov_path, "w") as f:
         f.write("\n".join(rows) + "\n")
     logger.info("overlap computation finished")
@@ -350,6 +408,52 @@ def run_sampleqc(input_path, out_dir, preset_name, *, nsample=5000,
     logger.info("finished all processes.")
     root_logger_cleanup(fh)
     return tobe_json
+
+
+class _IndexPrefetcher:
+    """The -d/--db flow: stream the target reads, group them into index
+    parts, and build + persist the host MinimizerIndex npz per part —
+    all on a background thread overlapping the chunk-QC loop (the
+    reference's `LqExec(minimap2-coverage -d tempdb)`, longQC.py:266-277;
+    cache format npz instead of MMI)."""
+
+    def __init__(self, input_path, specs, batch_size):
+        import threading
+        self.input_path = input_path
+        self.specs = specs            # [(k, w, cache_prefix), ...]
+        self.batch_size = batch_size
+        self.parts = None
+        self.error = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self):
+        self._thread.start()
+
+    def _run(self):
+        try:
+            from longqc_tpu.engine import overlap_host as oh
+            parts = list(oh.iter_index_parts(_read_stream(self.input_path),
+                                             self.batch_size))
+            for k, w, prefix in self.specs:
+                for i, part in enumerate(parts):
+                    path = "%s.part%04d.npz" % (prefix, i)
+                    if not os.path.exists(path):
+                        oh.build_index(part, k, w).save(path)
+            self.parts = parts
+        except Exception as e:  # surfaced on join()
+            self.error = e
+
+    def join(self):
+        self._thread.join()
+        if self.error is not None:
+            raise self.error
+        return self.parts
+
+    def cache_for(self, k, w):
+        for kk, ww, prefix in self.specs:
+            if (kk, ww) == (k, w):
+                return prefix
+        return None
 
 
 def root_logger_cleanup(fh):
