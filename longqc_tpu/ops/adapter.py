@@ -12,7 +12,11 @@ tiles (column-wise DP, vmapped over reads); the per-candidate traceback
 runs on host. Traceback prefers diagonal, then query-consuming,
 then target-consuming moves; edlib's own tie-breaking may differ in
 degenerate ties, which can only shift identity by O(1/len) around the
-threshold.
+threshold. tests/test_adapter_ties.py pins this: distance and the
+first-optimal end (tie-free, must equal edlib exactly) are checked
+against an exhaustive oracle, our (start, align_len) choice is proven
+to lie in the optimal-path set, and the worst-case identity spread
+across optimal paths is measured and bounded.
 """
 
 import functools

@@ -26,9 +26,11 @@ import numpy as np
 NEG_INF = -0x40000000
 
 
-@functools.partial(jax.jit, static_argnames=("W", "Lq", "Lt"))
+@functools.partial(jax.jit, static_argnames=("W", "Lq", "Lt", "gapo2",
+                                              "gape2"))
 def extz_batch(query, qlens, target, tlens, *, W=64, Lq=512, Lt=512,
-               match=2, mismatch=-4, gapo=4, gape=2, zdrop=400):
+               match=2, mismatch=-4, gapo=4, gape=2, gapo2=None,
+               gape2=None, zdrop=400):
     """Batched banded extension, score-only.
 
     query:  (B, Lq) int8/int32 base codes (4 = ambiguous: always
@@ -36,18 +38,26 @@ def extz_batch(query, qlens, target, tlens, *, W=64, Lq=512, Lt=512,
             scoring matrix)
     target: (B, Lt) codes
     W:      half band width (band = |i - j| <= W)
+    gapo2/gape2: optional second affine gap family (ksw_extd dual-gap
+            semantics, ksw2_extd2_sse.c); implicit boundaries then use
+            the cheaper family, min(q+l*e, q2+l*e2).
 
     Returns dict of (B,) arrays: max score, max_q, max_t, mqe, mqe_t,
     mte, mte_q, zdropped.
     """
     B = query.shape[0]
+    dual = gapo2 is not None
     band = 2 * W + 1
     # band row r represents query index i = j + (r - W) at target col j
     roff = jnp.arange(band, dtype=jnp.int32) - W  # (band,)
 
+    def bndcost(l):  # noqa: E741
+        b1 = gapo + l * gape
+        return jnp.minimum(b1, gapo2 + l * gape2) if dual else b1
+
     def step(carry, j):
-        H_prev, E_prev, best, best_q, best_t, mqe, mqe_t, mte, mte_q, \
-            dropped = carry
+        H_prev, E_prev, E2_prev, best, best_q, best_t, mqe, mqe_t, mte, \
+            mte_q, dropped = carry
         # query indices covered by the band at this column
         qi = j + roff[None, :]  # (B, band)
         q_ok = (qi >= 0) & (qi < qlens[:, None])
@@ -68,37 +78,55 @@ def extz_batch(query, qlens, target, tlens, *, W=64, Lq=512, Lt=512,
             [H_prev[:, 1:], jnp.full((B, 1), NEG_INF, jnp.int32)], axis=1)
         E_left = jnp.concatenate(
             [E_prev[:, 1:], jnp.full((B, 1), NEG_INF, jnp.int32)], axis=1)
-        # DP boundaries (H[0][0]=0; H[i][0], H[0][c] = -(gapo + l*gape)):
+        # DP boundaries (H[0][0]=0; H[i][0], H[0][c] = -bndcost(l)):
         # at column 0 the horizontal source is the col-0 boundary; the
         # diagonal source is the boundary column (j==0) or boundary row
         # (qi==0).
-        left_bnd = -(gapo + (qi + 1) * gape)
+        left_bnd = -bndcost(qi + 1)
         H_left = jnp.where(j == 0, left_bnd, H_left)
         H_diag = jnp.where(
             j == 0,
-            jnp.where(qi == 0, 0, -(gapo + qi * gape)),
-            jnp.where(qi == 0, -(gapo + j * gape), H_prev))
+            jnp.where(qi == 0, 0, -bndcost(qi)),
+            jnp.where(qi == 0, -bndcost(j), H_prev))
 
         E_j = jnp.maximum(E_left, H_left - gapo) - gape
         base = jnp.maximum(H_diag + sub, E_j)
+        if dual:
+            E2_left = jnp.concatenate(
+                [E2_prev[:, 1:], jnp.full((B, 1), NEG_INF, jnp.int32)],
+                axis=1)
+            E2_j = jnp.maximum(E2_left, H_left - gapo2) - gape2
+            base = jnp.maximum(base, E2_j)
+        else:
+            E2_j = E2_prev
         base = jnp.where(q_ok, base, NEG_INF)
         # F runs down the band rows (gap in target). With the standard
         # lazy-F exactness argument, F[r] = max over r' < r of
         # (base[r'] - gapo - (r - r')*gape), plus the chain from the
-        # boundary row: H_bnd(col j) - gapo - (qi+1)*gape.
+        # boundary row: H_bnd(col j) - gapo - (qi+1)*gape. The argument
+        # holds per gap family in the dual case (a vertical run that
+        # switches families pays both open costs and never wins).
         rr = jnp.arange(band, dtype=jnp.int32)[None, :]
-        hshift = base - gapo + gape * rr  # note: -(r-r')*gape folds in
-        run = jax.lax.associative_scan(jnp.maximum, hshift, axis=1)
-        run_excl = jnp.concatenate(
-            [jnp.full((B, 1), NEG_INF, jnp.int32), run[:, :-1]], axis=1)
-        F_band = run_excl - gape * rr
-        H_bnd_j = -(gapo + (j + 1) * gape)
-        F_bnd = H_bnd_j - gapo - (qi + 1) * gape
-        F_j = jnp.maximum(F_band, jnp.where(q_ok, F_bnd, NEG_INF))
-        H_j = jnp.maximum(base, F_j)
+        H_bnd_j = -bndcost(j + 1)
+
+        def fscan(go, ge):
+            hshift = base - go + ge * rr  # -(r-r')*ge folds in
+            run = jax.lax.associative_scan(jnp.maximum, hshift, axis=1)
+            run_excl = jnp.concatenate(
+                [jnp.full((B, 1), NEG_INF, jnp.int32), run[:, :-1]],
+                axis=1)
+            F_band = run_excl - ge * rr
+            F_bnd = H_bnd_j - go - (qi + 1) * ge
+            return jnp.maximum(F_band, jnp.where(q_ok, F_bnd, NEG_INF))
+
+        H_j = jnp.maximum(base, fscan(gapo, gape))
+        if dual:
+            H_j = jnp.maximum(H_j, fscan(gapo2, gape2))
         valid = q_ok & t_ok & ~dropped[:, None]
         H_j = jnp.where(valid, H_j, NEG_INF)
         E_j = jnp.where(valid, E_j, NEG_INF)
+        if dual:
+            E2_j = jnp.where(valid, E2_j, NEG_INF)
 
         # track maxima
         col_best = jnp.max(H_j, axis=1)
@@ -127,15 +155,15 @@ def extz_batch(query, qlens, target, tlens, *, W=64, Lq=512, Lt=512,
         drop_now = (best_n - col_best > zdrop) & t_ok[:, 0]
         dropped_n = dropped | drop_now
 
-        return ((H_j, E_j, best_n, best_q_n, best_t_n, mqe_n, mqe_t_n,
-                 mte_n, mte_q_n, dropped_n), None)
+        return ((H_j, E_j, E2_j, best_n, best_q_n, best_t_n, mqe_n,
+                 mqe_t_n, mte_n, mte_q_n, dropped_n), None)
 
     H0 = jnp.full((B, band), NEG_INF, jnp.int32)
     E0 = jnp.full((B, band), NEG_INF, jnp.int32)
     # column -1 boundary: H[i][-1] = -(gapo + (i+1)*gape) lives on band
     # rows... encoded implicitly: at j=0, the diagonal boundary for
     # qi==0 is 0 (handled in-step); vertical boundary enters via F.
-    init = (H0, E0,
+    init = (H0, E0, E0,
             jnp.zeros((B,), jnp.int32),          # best (extension >= 0)
             jnp.full((B,), -1, jnp.int32),
             jnp.full((B,), -1, jnp.int32),
@@ -145,27 +173,37 @@ def extz_batch(query, qlens, target, tlens, *, W=64, Lq=512, Lt=512,
             jnp.full((B,), -1, jnp.int32),
             jnp.zeros((B,), bool))
     carry, _ = jax.lax.scan(step, init, jnp.arange(Lt, dtype=jnp.int32))
-    (_, _, best, best_q, best_t, mqe, mqe_t, mte, mte_q, dropped) = carry
+    (_, _, _, best, best_q, best_t, mqe, mqe_t, mte, mte_q,
+     dropped) = carry
     return {"max": best, "max_q": best_q, "max_t": best_t,
             "mqe": mqe, "mqe_t": mqe_t, "mte": mte, "mte_q": mte_q,
             "zdropped": dropped}
 
 
 def extz_host(query, target, match=2, mismatch=-4, gapo=4, gape=2,
-              w=64, zdrop=400):
+              gapo2=None, gape2=None, w=64, zdrop=400):
     """Reference implementation (full DP, numpy) for validating the
-    device kernel; same recurrences, band, and outputs."""
+    device kernel; same recurrences, band, and outputs. gapo2/gape2
+    enable the dual-gap (extd) recurrence."""
     q = np.asarray(query)
     t = np.asarray(target)
+    dual = gapo2 is not None
+
+    def bndcost(l):  # noqa: E741
+        b1 = gapo + l * gape
+        return min(b1, gapo2 + l * gape2) if dual else b1
+
     n, m_ = len(q), len(t)
     H = np.full((n + 1, m_ + 1), NEG_INF, np.int64)
     E = np.full((n + 1, m_ + 1), NEG_INF, np.int64)
     F = np.full((n + 1, m_ + 1), NEG_INF, np.int64)
+    E2 = np.full((n + 1, m_ + 1), NEG_INF, np.int64)
+    F2 = np.full((n + 1, m_ + 1), NEG_INF, np.int64)
     H[0, 0] = 0
     for j in range(1, m_ + 1):
-        H[0, j] = -(gapo + j * gape)
+        H[0, j] = -bndcost(j)
     for i in range(1, n + 1):
-        H[i, 0] = -(gapo + i * gape)
+        H[i, 0] = -bndcost(i)
     best, bq, bt = 0, -1, -1
     mqe, mqe_t = NEG_INF, -1
     mte, mte_q = NEG_INF, -1
@@ -180,6 +218,12 @@ def extz_host(query, target, match=2, mismatch=-4, gapo=4, gape=2,
             E[i, j] = max(E[i, j - 1], H[i, j - 1] - gapo) - gape
             F[i, j] = max(F[i - 1, j], H[i - 1, j] - gapo) - gape
             H[i, j] = max(H[i - 1, j - 1] + sub, E[i, j], F[i, j])
+            if dual:
+                E2[i, j] = max(E2[i, j - 1],
+                               H[i, j - 1] - gapo2) - gape2
+                F2[i, j] = max(F2[i - 1, j],
+                               H[i - 1, j] - gapo2) - gape2
+                H[i, j] = max(H[i, j], E2[i, j], F2[i, j])
             if H[i, j] > col_best:
                 col_best = H[i, j]
                 col_q = i - 1

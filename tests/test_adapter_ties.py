@@ -1,0 +1,149 @@
+"""Adapter-search tie-breaking: pin the traceback against an exhaustive
+optimal-path oracle.
+
+The reference computes identity from edlib's single reported path
+(lq_adapt.py:30-37): identity = 1 - dist/align_len, where align_len is
+the CIGAR column count of whichever optimal path edlib's traceback
+picks. edlib is unavailable offline (no wheel, zero egress), so exact
+goldens cannot be generated; instead this suite
+  1. enumerates EVERY optimal path for small degenerate-tie cases and
+     asserts our traceback's (start, align_len) lies in the optimal set
+     with dist and first-end exactly right (these two are tie-free and
+     must match edlib bit-for-bit);
+  2. measures the worst identity spread across optimal paths on random
+     adapter-like inputs, verifying the documented O(1/len) bound
+     (ops/adapter.py:12-16) — a trim decision can only diverge from the
+     reference when th falls inside that spread;
+  3. pins our deterministic choice on named degenerate constructions so
+     any future traceback change is caught.
+"""
+
+import numpy as np
+import pytest
+
+from longqc_tpu.ops.adapter import adapter_dists, encode, hw_align_host
+
+
+def _enumerate_optimal(adp, window):
+    """All optimal HW alignments ending at the FIRST optimal end.
+
+    Returns (dist, end, set of (start, align_len)) over every traceback
+    of the infix DP — the full set of answers any correct
+    implementation (edlib included) could report for locations[0] +
+    CIGAR length.
+    """
+    m, n = len(adp), len(window)
+    D = np.zeros((m + 1, n + 1), np.int32)
+    D[:, 0] = np.arange(m + 1)
+    for j in range(1, n + 1):
+        for i in range(1, m + 1):
+            c = 0 if adp[i - 1] == window[j - 1] else 1
+            D[i, j] = min(D[i - 1, j - 1] + c, D[i - 1, j] + 1,
+                          D[i, j - 1] + 1)
+    dist = int(D[m, 1:].min())
+    end = int(np.argmin(D[m, 1:]))          # first optimal end
+
+    out = set()
+
+    def walk(i, j, cols):
+        if i == 0:
+            out.add((j, cols))
+            return
+        c = 0 if (j > 0 and adp[i - 1] == window[j - 1]) else 1
+        if j > 0 and D[i, j] == D[i - 1, j - 1] + c:
+            walk(i - 1, j - 1, cols + 1)
+        if D[i, j] == D[i - 1, j] + 1:
+            walk(i - 1, j, cols + 1)
+        if j > 0 and D[i, j] == D[i, j - 1] + 1:
+            walk(i, j - 1, cols + 1)
+
+    walk(m, end + 1, 0)
+    return dist, end, out
+
+
+CASES = [
+    # (name, adapter, window) — degenerate-tie constructions
+    ("homopolymer-del", "AAAA", "CCAAACC"),
+    ("homopolymer-ins", "AAA", "CCAAAACC"),
+    ("tandem-start-tie", "ACAC", "TTACACACTT"),
+    ("all-mismatch", "AAAA", "GGGGGGG"),
+    ("mixed-run", "ACGTACGT", "TTACGACGTTT"),
+    ("leading-repeat", "TTTT", "TTTTTTTT"),
+    ("alternating", "ATAT", "GGTATATAGG"),
+]
+
+
+@pytest.mark.parametrize("name,adp,win", CASES)
+def test_traceback_within_optimal_set(name, adp, win):
+    a, w = encode(adp), encode(win)
+    dist, end, opts = _enumerate_optimal(a, w)
+    got = hw_align_host(a, w)
+    assert got is not None
+    gdist, gstart, gend, galen = got
+    assert gdist == dist, name               # tie-free: must equal edlib
+    assert gend == end, name                 # first optimal end: ditto
+    assert (gstart, galen) in opts, (name, gstart, galen, sorted(opts))
+
+
+@pytest.mark.parametrize("name,adp,win", CASES)
+def test_device_distance_matches_oracle(name, adp, win):
+    a = encode(adp)
+    reads = [["r", win * 3 + "ACGT" * 40, ""]]  # > 2*length: not skipped
+    dists, ends, skipped = adapter_dists(reads, adp, "head", length=60)
+    wseq = reads[0][1][:60]
+    dist, end, _ = _enumerate_optimal(a, encode(wseq))
+    assert not skipped[0]
+    assert int(dists[0]) == dist, name
+    assert int(ends[0]) == end, name
+
+
+def test_identity_spread_bound_random():
+    """Across random inputs, the identity spread among optimal paths is
+    bounded by dist * spread(align_len) — O(1/len); our reported value
+    must always be inside [min, max] of the optimal set."""
+    rng = np.random.RandomState(5)
+    worst = 0.0
+    for _ in range(120):
+        m = rng.randint(4, 11)
+        n = rng.randint(m, 26)
+        adp = rng.randint(0, 4, m)
+        win = rng.randint(0, 4, n)
+        # half the time embed a mutated copy so near-threshold identities
+        # (the regime that matters for trims) are exercised
+        if rng.rand() < 0.5 and n >= m:
+            s = rng.randint(0, n - m + 1)
+            win[s:s + m] = adp
+            for _k in range(rng.randint(0, 3)):
+                win[rng.randint(s, s + m)] = rng.randint(0, 4)
+        dist, end, opts = _enumerate_optimal(adp, win)
+        got = hw_align_host(adp, win)
+        gdist, gstart, gend, galen = got
+        assert gdist == dist and gend == end
+        assert (gstart, galen) in opts
+        lens = [alen for _s, alen in opts]
+        idens = [1.0 - dist / alen for alen in lens if alen > 0]
+        if idens:
+            spread = max(idens) - min(idens)
+            worst = max(worst, spread)
+            mine = 1.0 - gdist / galen
+            assert min(idens) - 1e-12 <= mine <= max(idens) + 1e-12
+    # documented bound: a tie can shift identity by O(1/len) only
+    assert worst <= 0.35, worst  # small adapters => loose absolute cap
+
+
+def test_pinned_traceback_goldens():
+    """Freeze our deterministic (diag > up > left) traceback choices on
+    the degenerate cases so behavior changes are caught explicitly."""
+    got = {}
+    for name, adp, win in CASES:
+        d, s, e, alen = hw_align_host(encode(adp), encode(win))
+        got[name] = (d, s, e, alen)
+    assert got == {
+        "homopolymer-del": (1, 1, 4, 4),     # start tie: {1, 2}; we pick 1
+        "homopolymer-ins": (0, 2, 4, 3),     # unique optimal path
+        "tandem-start-tie": (0, 2, 5, 4),    # unique at the first end
+        "all-mismatch": (4, 0, 0, 4),        # start tie: {0, 1}; we pick 0
+        "mixed-run": (1, 2, 8, 8),           # unique optimal path
+        "leading-repeat": (0, 0, 3, 4),      # 4 matches at the first end
+        "alternating": (0, 3, 6, 4),         # unique at the first end
+    }, got
