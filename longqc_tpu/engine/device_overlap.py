@@ -962,86 +962,114 @@ class DeviceOverlapEngine:
             p_hi=p_hi, p_lo=p_lo, p_s=p_s, interpret=self.interpret)
 
     def run(self, target_iter, progress=None, parts=None):
+        """Pipelined part loop (the kt_pipeline role, kthread.c:129-158):
+        a one-slot prefetch thread reads/packs/sketches part N+1 and
+        dispatches its index build while part N's query groups execute;
+        JAX dispatch is thread-safe and device programs serialize on
+        chip, so the overlap hides the host-side read/pack/python time
+        plus the tunnel's dispatch latency."""
+        import concurrent.futures as cf
+
         cfg = self.cfg
         part_iter = (iter(parts) if parts is not None
                      else oh.iter_index_parts(target_iter,
                                               cfg.index.batch_size))
-        for part in part_iter:
+
+        def build(part):
             t0 = time.time()
             pidx = _PartIndex(part, self.k, self.w, cfg.map.mid_occ,
                               cfg.map.mid_occ_frac)
-            pidx.mid_occ.block_until_ready()
             self.phase_s["index"] += time.time() - t0
-            for g in self.groups:
-                self._run_group_part(g, pidx, progress)
+            return pidx
+
+        with cf.ThreadPoolExecutor(max_workers=1) as ex:
+            nxt = next(part_iter, None)
+            fut = ex.submit(build, nxt) if nxt is not None else None
+            while fut is not None:
+                pidx = fut.result()
+                nxt = next(part_iter, None)
+                fut = ex.submit(build, nxt) if nxt is not None else None
+                self._run_part(pidx, progress)
         t0 = time.time()
         rows = self._finalize()
         self.phase_s["finalize"] += time.time() - t0
         return rows
 
-    def _run_group_part(self, g, pidx, progress):
+    def _run_part(self, pidx, progress):
+        """All query groups against one part, in three waves so device
+        dispatches are in flight while earlier groups' results stream
+        back (instead of a blocking round trip per group)."""
         t0 = time.time()
-        qrank = np.full(self.lanes, -1, np.int32)
-        qbisect = np.zeros(self.lanes, np.int32)
-        for r, qi in enumerate(g.qids):
-            qname = self.queries[qi][0]
-            qrank[r] = pidx.name_rank.get(qname, -1)
-            if self.cfg.ava:
-                qbisect[r] = bisect_left(pidx.sorted_names, qname)
-        qrank_d = jnp.asarray(qrank)
-        qbisect_d = jnp.asarray(qbisect)
-
         if self.mesh is not None:
-            count_fn = _sharded_count(self.mesh, g.M)
-        else:
-            count_fn = functools.partial(_count_anchors, M=g.M)
-        n_q_d, occ_slot, left_slot = count_fn(
-            pidx.ih, pidx.mid_occ, g.qh, g.e_src)
-        n_q = np.asarray(n_q_d)
-        n_max = int(n_q[:len(g.qids)].max()) if len(g.qids) else 0
-        A = next((a for a in A_BUCKETS if n_max <= a), A_BUCKETS[-1])
-        st = self._static(g, A)
+            count_fns = {g.M: _sharded_count(self.mesh, g.M)
+                         for g in self.groups}
+        pend = []
+        for g in self.groups:
+            qrank = np.full(self.lanes, -1, np.int32)
+            qbisect = np.zeros(self.lanes, np.int32)
+            for r, qi in enumerate(g.qids):
+                qname = self.queries[qi][0]
+                qrank[r] = pidx.name_rank.get(qname, -1)
+                if self.cfg.ava:
+                    qbisect[r] = bisect_left(pidx.sorted_names, qname)
+            if self.mesh is not None:
+                count_fn = count_fns[g.M]
+            else:
+                count_fn = functools.partial(_count_anchors, M=g.M)
+            n_q_d, occ_slot, left_slot = count_fn(
+                pidx.ih, pidx.mid_occ, g.qh, g.e_src)
+            pend.append((g, n_q_d, occ_slot, left_slot,
+                         jnp.asarray(qrank), jnp.asarray(qbisect)))
         self.phase_s["count"] += time.time() - t0
-        t0 = time.time()
-        if self.mesh is not None:
-            step_fn = _sharded_step(self.mesh, st)
-        else:
-            step_fn = functools.partial(_step, st=st)
-        (g.lam, g.lam2, g.avgk_set, g.m_cnts, flags, events,
-         ev_n) = step_fn(
-            pidx.ih, pidx.irid, pidx.ips, pidx.seq_lens,
-            pidx.rid_rank, pidx.mid_occ, occ_slot, left_slot,
-            g.qh, g.qpos, g.qstrand, g.e_src, g.n_exp,
-            g.qlen, qrank_d, qbisect_d, g.qvalid,
-            g.lam, g.lam2, g.avgk_set, g.m_cnts, self.limbs5)
-        self.n_device_calls += 1
 
-        flags_np = np.asarray(flags)
-        self.phase_s["step"] += time.time() - t0
         t0 = time.time()
-        for r in range(len(g.qids)):
-            if flags_np[r]:
-                self.flag_counts[int(flags_np[r])] += 1
-        ev_n_np = np.asarray(ev_n)
-        w = int(ev_n_np.max()) if len(g.qids) else 0
-        if w > 0:
-            w = _pow2_at_least(w, 64)
-            ev_np = np.asarray(events[:, :w])
-        for r, qi in enumerate(g.qids):
-            if flags_np[r] or g.perm_host[r]:
-                continue
-            n = int(ev_n_np[r])
-            if n:
-                self.events[qi].extend(int(x) for x in ev_np[r, :n])
-            if progress:
-                progress(qi)
-        self.phase_s["pull"] += time.time() - t0
-        bad = [r for r in range(len(g.qids))
-               if flags_np[r] or g.perm_host[r]]
-        if bad:
+        stepped = []
+        for g, n_q_d, occ_slot, left_slot, qrank_d, qbisect_d in pend:
+            n_q = np.asarray(n_q_d)
+            n_max = int(n_q[:len(g.qids)].max()) if len(g.qids) else 0
+            A = next((a for a in A_BUCKETS if n_max <= a), A_BUCKETS[-1])
+            st = self._static(g, A)
+            if self.mesh is not None:
+                step_fn = _sharded_step(self.mesh, st)
+            else:
+                step_fn = functools.partial(_step, st=st)
+            (g.lam, g.lam2, g.avgk_set, g.m_cnts, flags, events,
+             ev_n) = step_fn(
+                pidx.ih, pidx.irid, pidx.ips, pidx.seq_lens,
+                pidx.rid_rank, pidx.mid_occ, occ_slot, left_slot,
+                g.qh, g.qpos, g.qstrand, g.e_src, g.n_exp,
+                g.qlen, qrank_d, qbisect_d, g.qvalid,
+                g.lam, g.lam2, g.avgk_set, g.m_cnts, self.limbs5)
+            self.n_device_calls += 1
+            stepped.append((g, flags, events, ev_n))
+        self.phase_s["step"] += time.time() - t0
+
+        for g, flags, events, ev_n in stepped:
             t0 = time.time()
-            self._host_fix(g, pidx, bad, progress)
-            self.phase_s["host_fix"] += time.time() - t0
+            flags_np = np.asarray(flags)
+            for r in range(len(g.qids)):
+                if flags_np[r]:
+                    self.flag_counts[int(flags_np[r])] += 1
+            ev_n_np = np.asarray(ev_n)
+            w = int(ev_n_np.max()) if len(g.qids) else 0
+            if w > 0:
+                w = _pow2_at_least(w, 64)
+                ev_np = np.asarray(events[:, :w])
+            for r, qi in enumerate(g.qids):
+                if flags_np[r] or g.perm_host[r]:
+                    continue
+                n = int(ev_n_np[r])
+                if n:
+                    self.events[qi].extend(int(x) for x in ev_np[r, :n])
+                if progress:
+                    progress(qi)
+            self.phase_s["pull"] += time.time() - t0
+            bad = [r for r in range(len(g.qids))
+                   if flags_np[r] or g.perm_host[r]]
+            if bad:
+                t0 = time.time()
+                self._host_fix(g, pidx, bad, progress)
+                self.phase_s["host_fix"] += time.time() - t0
 
     def _host_fix(self, g, pidx, rows, progress):
         """Exact host recompute of this part's update for flagged rows
