@@ -1,0 +1,465 @@
+"""Canonical-shape device index build for the overlap engine.
+
+Round-2's index build compiled programs whose shapes scaled with the
+dataset (per-length-bucket sketch batches, one monolithic multi-key sort
+over an N_pad that tracked the part size). On the attached TPU runtime,
+XLA compile time scales steeply with array size — a 16M-slot sort costs
+minutes of remote compile — so every new dataset size paid a cold-start
+penalty the persistent cache could never amortize. This module rebuilds
+the index pipeline from fixed-shape pieces that compile once per
+*configuration* (never per dataset):
+
+  reads --host pack--> multi-read 2-bit tiles (R, W fixed; reads laid
+      back-to-back in a row behind w-1 ambiguous separator bases)
+    --fused device program per tile--> unpack -> segment-gated sketch
+      (ops/sketch._sketch_core seg mode) -> per-row compaction with
+      read-id/local-position mapping -> duplicate-emission expansion
+      -> single-key sort by hash  => one sorted chunk of TILE_SLOTS
+    --merge tree--> pairwise merge-path combines (fixed sizes
+      TILE_SLOTS * 2^j) => one sorted (hash, rid, pos<<1|strand) array
+    --canonical pad--> N_idx in {2^16, 2^20, 2^24} INF-padded index
+    --device mid_occ--> kth-occurrence threshold by binary search on
+      the value (no sort of counts), cf. mm_idx_cal_max_occ
+      (index.c:123-144)
+
+Single-key sorting (hash only) is exact: within a hash run all entries
+share the same k-mer, and anchors that tie on the chain sort keys
+(rev<<24|rid, rpos) are bit-identical duplicates whose relative order
+cannot change any emitted row (see engine/device_overlap docstring;
+enforced by the row-identity differential tests).
+
+Behavioral citations: sketch.c:76-142 (minimizers), index.c:69-144
+(index + occurrence threshold), bseq.c:68 (batching by base budget).
+"""
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from longqc_tpu.io.pack import SEQ_NT4_SKETCH
+from longqc_tpu.ops.ringprop import INF32
+from longqc_tpu.ops.sketch import _sketch_core
+
+# tile ladder: all levels hold the same number of bases / flat slots so
+# every level feeds the same sort/merge machinery
+TILE_LADDER = ((256, 8192), (32, 65536), (4, 524288))
+JUMBO_W = 1 << 22          # single-row tiles for ultra-long reads
+READS_PER_ROW = 64
+N_IDX_SIZES = (1 << 16, 1 << 20, 1 << 24)
+
+# small-geometry ladder for tests / tiny workloads (same code paths,
+# cheap compiles on the CPU backend)
+TILE_LADDER_SMALL = ((16, 2048), (4, 8192), (1, 32768))
+N_IDX_SIZES_SMALL = (1 << 12, 1 << 15, 1 << 24)
+
+
+@dataclass
+class Tile:
+    """One packed multi-read tile (host arrays, ready for device put)."""
+    R: int
+    W: int
+    codes2: np.ndarray      # (R, W//16) uint32, 2-bit codes
+    nmask: np.ndarray       # (R, W//32) uint32, 1 = ambiguous/padding
+    startmask: np.ndarray   # (R, W//32) uint32, 1 = segment start
+    starts: np.ndarray      # (R, READS_PER_ROW) int32 read start pos
+    gids: np.ndarray        # (R, READS_PER_ROW) int32 global read id
+    used: np.ndarray        # (R,) int32 row used width
+    n_reads: int
+
+
+class _TileBuilder:
+    def __init__(self, R, W, sep):
+        self.R, self.W, self.sep = R, W, sep
+        self.rows = []          # list of list[(gid, seq)]
+        self.cur = []
+        self.cur_used = 0
+
+    def add(self, gid, seq):
+        need = len(seq) + (self.sep if self.cur else 0)
+        if self.cur and (self.cur_used + need > self.W
+                         or len(self.cur) >= READS_PER_ROW):
+            self.rows.append(self.cur)
+            self.cur = []
+            self.cur_used = 0
+            need = len(seq)
+        self.cur.append((gid, seq))
+        self.cur_used += need
+
+    def flush(self):
+        if self.cur:
+            self.rows.append(self.cur)
+            self.cur = []
+            self.cur_used = 0
+
+    def tiles(self):
+        self.flush()
+        out = []
+        for off in range(0, len(self.rows), self.R):
+            out.append(self._pack(self.rows[off:off + self.R]))
+        return out
+
+    def _pack(self, rows):
+        R, W, sep = self.R, self.W, self.sep
+        codes = np.zeros((R, W), np.uint8)
+        amb = np.ones((R, W), bool)         # padding counts as ambiguous
+        startb = np.zeros((R, W), bool)
+        starts = np.zeros((R, READS_PER_ROW), np.int32)
+        gids = np.full((R, READS_PER_ROW), -1, np.int32)
+        used = np.zeros(R, np.int32)
+        n_reads = 0
+        for r, row in enumerate(rows):
+            pos = 0
+            for j, (gid, seq) in enumerate(row):
+                if j > 0:
+                    # separators belong to the NEXT segment: a window
+                    # ending at a separator entry may only ever track
+                    # entries of the read the separators precede
+                    startb[r, pos] = True
+                    pos += sep
+                else:
+                    startb[r, 0] = True
+                a = np.frombuffer(seq.encode("ascii"), np.uint8)
+                c = SEQ_NT4_SKETCH[a]
+                codes[r, pos:pos + len(c)] = np.where(c < 4, c, 0)
+                amb[r, pos:pos + len(c)] = c >= 4
+                starts[r, j] = pos
+                gids[r, j] = gid
+                pos += len(c)
+                n_reads += 1
+            used[r] = pos
+        return Tile(R, W, _packbits32(_to_bits2(codes)),
+                    _packbits32(amb), _packbits32(startb),
+                    starts, gids, used, n_reads)
+
+
+def _to_bits2(codes):
+    """(R, W) u8 codes 0..3 -> (R, W) already fine; kept for clarity."""
+    return codes
+
+
+def _packbits32(arr):
+    """Bit/2-bit packing into uint32 words, little-endian in the word.
+
+    Boolean arrays pack 32/word; uint8 code arrays (values 0..3) pack
+    16/word.
+    """
+    if arr.dtype == np.uint8:
+        R, W = arr.shape
+        a = arr.reshape(R, W // 16, 16).astype(np.uint32)
+        shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+        return (a << shifts).sum(axis=2, dtype=np.uint32)
+    R, W = arr.shape
+    a = arr.reshape(R, W // 32, 32).astype(np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)[None, None, :]
+    return (a << shifts).sum(axis=2, dtype=np.uint32)
+
+
+def pack_part_tiles(part, w, ladder=TILE_LADDER, jumbo_w=JUMBO_W):
+    """Pack a part's reads into multi-read tiles (+ jumbo single-read
+    tiles for reads longer than the ladder top). Returns
+    (tiles, jumbo_tiles)."""
+    sep = max(w - 1, 1)
+    builders = [_TileBuilder(R, W, sep) for R, W in ladder]
+    tops = [W for _R, W in ladder]
+    jumbo = []
+    for gid, r in enumerate(part):
+        seq = r[1]
+        for lvl, top in enumerate(tops):
+            if len(seq) <= top:
+                builders[lvl].add(gid, seq)
+                break
+        else:
+            jw = jumbo_w
+            while jw < len(seq):
+                jw *= 2
+            b = _TileBuilder(1, jw, sep)
+            b.add(gid, seq)
+            jumbo.extend(b.tiles())
+    tiles = []
+    for b in builders:
+        tiles.extend(b.tiles())
+    return tiles, jumbo
+
+
+# ---------------------------------------------------------------------------
+# device programs
+
+
+def _unpack2(words, W):
+    """(R, W//16) u32 -> (R, W) int32 2-bit fields."""
+    R = words.shape[0]
+    w32 = words.astype(jnp.uint32)[:, :, None]
+    shifts = jnp.arange(16, dtype=jnp.uint32)[None, None, :] * 2
+    return ((w32 >> shifts) & 3).astype(jnp.int32).reshape(R, W)
+
+
+def _unpack1(words, W):
+    """(R, W//32) u32 -> (R, W) bool."""
+    R = words.shape[0]
+    w32 = words.astype(jnp.uint32)[:, :, None]
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return (((w32 >> shifts) & 1) != 0).reshape(R, W)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("R", "W", "k", "w", "full_width"))
+def tile_flat(codes2, nmask, startmask, starts, gids, used, *,
+              R, W, k, w, full_width=False):
+    """Fused per-tile program: unpack -> segment sketch -> flatten with
+    read-id mapping -> duplicate expansion -> single-key sort.
+
+    Returns (ih, irid, ips) sorted by hash with INF32 hash sentinels on
+    empty slots (R*M each), n_exp_total, row_overflow (R,) bool
+    (a row's emissions exceeded its M slots), exp_overflow scalar.
+
+    M = W//2 normally (minimizer density is ~2/(w+1) < 1/2 except on
+    adversarial periodic rows); full_width (M = W) is the stage-2
+    fallback for rows that overflowed — emissions per row can never
+    exceed W, so stage-2 row overflow is impossible.
+    """
+    M = W if full_width else W // 2
+    codes = _unpack2(codes2, W)
+    amb = _unpack1(nmask, W)
+    startb = _unpack1(startmask, W)
+    codes = jnp.where(amb, 4, codes).astype(jnp.uint8)
+    seg = jnp.cumsum(startb.astype(jnp.int32), axis=1) - 1
+
+    res = _sketch_core(codes, used, w=w, k=k, seg=seg)
+    emit, hsh, pos, strand = (res["emit"], res["hash"], res["pos"],
+                              res["strand"])
+    seg_s = res["seg"]
+
+    # per-row compaction of emitting entries into M slots
+    has = emit > 0
+    posl = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :],
+                            (R, W))
+    order = jnp.argsort(jnp.where(has, posl, INF32), axis=1)[:, :M]
+    n = jnp.sum(has, axis=1).astype(jnp.int32)
+    slot_on = jnp.arange(M, dtype=jnp.int32)[None, :] < \
+        jnp.minimum(n, M)[:, None]
+
+    def take(a):
+        return jnp.take_along_axis(a, order, axis=1)
+
+    seg_e = jnp.clip(take(seg_s), 0, READS_PER_ROW - 1)
+    rid = jnp.take_along_axis(gids, seg_e, axis=1)
+    rstart = jnp.take_along_axis(starts, seg_e, axis=1)
+    local = take(pos.astype(jnp.int32)) - rstart
+    h = jnp.where(slot_on & (rid >= 0),
+                  take(hsh.astype(jnp.uint32).astype(jnp.int32)), INF32)
+    rids = jnp.where(slot_on, jnp.maximum(rid, 0), 0)
+    ps = jnp.where(slot_on, (local << 1) | take(strand.astype(jnp.int32)),
+                   0)
+    cnt = jnp.where(h != INF32, take(emit.astype(jnp.int32)), 0)
+    row_overflow = n > M
+
+    # duplicate expansion in flat slot order (emissions with cnt > 1)
+    N = R * M
+    hf = h.reshape(-1)
+    rf = rids.reshape(-1)
+    pf = ps.reshape(-1)
+    cf = cnt.reshape(-1)
+    wsum = jnp.cumsum(cf).astype(jnp.int32)
+    n_exp_total = wsum[-1]
+    wstart = jnp.concatenate([jnp.zeros((1,), jnp.int32), wsum[:-1]])
+    posf = jnp.arange(N, dtype=jnp.int32)
+    seed = jnp.zeros((N,), jnp.int32).at[
+        jnp.where(cf > 0, wstart, N)].max(posf, mode="drop")
+    src = jax.lax.associative_scan(jnp.maximum, seed)
+    on = posf < n_exp_total
+    eh = jnp.where(on, hf[src], INF32)
+    er = jnp.where(on, rf[src], 0)
+    ep = jnp.where(on, pf[src], 0)
+    exp_overflow = n_exp_total > N
+
+    ih, irid, ips = jax.lax.sort((eh, er, ep), dimension=0, num_keys=1,
+                                 is_stable=False)
+    return ih, irid, ips, n_exp_total, row_overflow, exp_overflow
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def merge_sorted(ka, pa1, pa2, kb, pb1, pb2, *, n):
+    """Merge two sorted n-long (key, payload, payload) triples into a
+    2n-long sorted triple via the merge-path diagonal search (ties take
+    from the left/A side first). Pure gathers — no sort."""
+    j = jnp.arange(2 * n, dtype=jnp.int32)
+    lo = jnp.maximum(j - n, 0)
+    hi = jnp.minimum(j, n)
+    # binary search for a = #taken from A at output position j:
+    # invariant: A[a-1] <= B[j-a] for a <= a_j, A[a] < ... standard
+    for _ in range(int(np.log2(n)) + 1):
+        mid = (lo + hi + 1) >> 1
+        a_val = ka[jnp.clip(mid - 1, 0, n - 1)]
+        b_val = kb[jnp.clip(j - mid, 0, n - 1)]
+        b_in = (j - mid) < n
+        take_more = (mid <= j) & (mid <= n) & (mid >= 1) & \
+            (~b_in | (a_val <= b_val))
+        lo = jnp.where(take_more, jnp.maximum(lo, mid), lo)
+        hi = jnp.where(take_more, hi, jnp.minimum(hi, mid - 1))
+    a = lo
+    b = j - a
+    a_c = jnp.clip(a, 0, n - 1)
+    b_c = jnp.clip(b, 0, n - 1)
+    a_ok = a < n
+    b_ok = b < n
+    from_a = a_ok & (~b_ok | (ka[a_c] <= kb[b_c]))
+    k_o = jnp.where(from_a, ka[a_c], kb[b_c])
+    p1 = jnp.where(from_a, pa1[a_c], pb1[b_c])
+    p2 = jnp.where(from_a, pa2[a_c], pb2[b_c])
+    return k_o, p1, p2
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def pad_to(ka, pa1, pa2, *, n_out):
+    n = ka.shape[0]
+    fill = jnp.full((n_out - n,), INF32, jnp.int32)
+    zero = jnp.zeros((n_out - n,), jnp.int32)
+    return (jnp.concatenate([ka, fill]),
+            jnp.concatenate([pa1, zero]),
+            jnp.concatenate([pa2, zero]))
+
+
+@jax.jit
+def index_runlens(ih):
+    """Per-key occurrence runs on the sorted hash array: returns
+    (is_start, run_len, n_keys). run_len is nonzero only at run starts."""
+    N = ih.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = ih != INF32
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ih[:-1]])
+    is_start = valid & (ih != prev)
+    n_keys = jnp.sum(is_start).astype(jnp.int32)
+    n_valid = jnp.sum(valid).astype(jnp.int32)
+    # run length at each start: distance to the next start (or n_valid)
+    nxt = jnp.concatenate([is_start[1:],
+                           jnp.ones((1,), dtype=is_start.dtype)])
+    nxt_pos = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(nxt, idx + 1, N), reverse=True)
+    run_len = jnp.where(is_start,
+                        jnp.minimum(nxt_pos, n_valid) - idx, 0)
+    return is_start, run_len, n_keys
+
+
+@functools.partial(jax.jit, static_argnames=("max_occ_bits",))
+def kth_runlen(is_start, run_len, kth, max_occ_bits=21):
+    """kth-smallest run length (+1) by binary search on the VALUE — no
+    sort of the counts (mm_idx_cal_max_occ quantile, index.c:123-144).
+    kth is computed on host exactly like the host-spec index
+    (int((1.0 - frac) * n): float64 round-to-nearest then truncate)."""
+    lo = jnp.int32(0)
+    hi = jnp.int32(1 << max_occ_bits)
+    for _ in range(max_occ_bits + 1):
+        mid = (lo + hi) >> 1
+        cnt = jnp.sum(is_start & (run_len <= mid)).astype(jnp.int32)
+        ok = cnt >= kth + 1
+        hi = jnp.where(ok, mid, hi)
+        lo = jnp.where(ok, lo, mid + 1)
+    return hi + 1
+
+
+class IndexOverflowError(RuntimeError):
+    """Even the full-width stage-2 tile overflowed duplicate expansion
+    (requires > W emissions in one row — extreme adversarial input).
+    Callers fall back to the exact host index for the part."""
+
+
+def _run_tile(t, k, w, full_width=False):
+    return tile_flat(
+        jnp.asarray(t.codes2), jnp.asarray(t.nmask),
+        jnp.asarray(t.startmask), jnp.asarray(t.starts),
+        jnp.asarray(t.gids), jnp.asarray(t.used),
+        R=t.R, W=t.W, k=k, w=w, full_width=full_width)
+
+
+def build_device_index(part, k, w, *, ladder=TILE_LADDER,
+                       n_idx_sizes=N_IDX_SIZES, mid_occ_fixed=0,
+                       mid_occ_frac=2e-4):
+    """Build the sorted device index for one part. Returns a dict with
+    ih/irid/ips (canonical N_idx width), mid_occ (device scalar),
+    n_idx, n_tiles."""
+    tiles, jumbo = pack_part_tiles(part, w, ladder=ladder)
+    tiles = tiles + jumbo
+    results = [_run_tile(t, k, w) for t in tiles]
+
+    # one small sync per part: row/expansion overflow flags (rare; the
+    # affected tiles are re-run before anything is merged)
+    chunks = []
+    for t, (ih, irid, ips, _n, row_ov, exp_ov) in zip(tiles, results):
+        row_ov = np.asarray(row_ov)
+        if bool(np.asarray(exp_ov)) or row_ov[:len(t.used)].any():
+            sep = max(w - 1, 1)
+            bad_rows = set(np.nonzero(row_ov)[0].tolist())
+            keep, redo = [], []
+            for r in range(t.R):
+                gg = [g for g in t.gids[r] if g >= 0]
+                (redo if (r in bad_rows) else keep).extend(gg)
+            if bool(np.asarray(exp_ov)):
+                # expansion overflow: conservatively redo every read of
+                # this tile at full width (cannot attribute rows)
+                redo = keep + redo
+                keep = []
+            if keep:
+                b = _TileBuilder(t.R, t.W, sep)
+                for g in keep:
+                    b.add(g, part[g][1])
+                for t2 in b.tiles():
+                    r2 = _run_tile(t2, k, w)
+                    if bool(np.asarray(r2[5])) or \
+                            np.asarray(r2[4]).any():
+                        raise IndexOverflowError()
+                    chunks.append(list(r2[:3]))
+            for g in redo:
+                b = _TileBuilder(1, t.W, sep)
+                b.add(g, part[g][1])
+                for t2 in b.tiles():
+                    r2 = _run_tile(t2, k, w, full_width=True)
+                    if bool(np.asarray(r2[5])):
+                        raise IndexOverflowError()
+                    chunks.append(list(r2[:3]))
+        else:
+            chunks.append([ih, irid, ips])
+
+    # merge equal-sized chunks pairwise (merge-path); promote lone
+    # chunks upward by INF-padding (a padded chunk stays sorted)
+    by_size = {}
+    for c in chunks:
+        by_size.setdefault(c[0].shape[0], []).append(c)
+    while True:
+        sizes = sorted(by_size)
+        if len(sizes) == 1 and len(by_size[sizes[0]]) == 1:
+            break
+        n = sizes[0]
+        lst = by_size.pop(n)
+        nxt = []
+        while len(lst) >= 2:
+            a, b = lst.pop(), lst.pop()
+            nxt.append(list(merge_sorted(*a, *b, n=n)))
+        if lst:
+            nxt.append(list(pad_to(*lst[0], n_out=2 * n)))
+        by_size.setdefault(2 * n, []).extend(nxt)
+    (final,) = by_size[sorted(by_size)[0]]
+
+    n_real = final[0].shape[0]
+    n_idx = next((s for s in n_idx_sizes if n_real <= s), None)
+    if n_idx is None:
+        raise ValueError("part exceeds the largest canonical index size")
+    if n_real < n_idx:
+        final = list(pad_to(*final, n_out=n_idx))
+    ih, irid, ips = final
+
+    if mid_occ_fixed:
+        mo = jnp.asarray(np.int32(mid_occ_fixed))
+    else:
+        is_start, run_len, n_keys = index_runlens(ih)
+        n = int(n_keys)    # second small sync per part
+        if n == 0:
+            mo = jnp.asarray(np.int32(1))
+        else:
+            # bit-exact with the host spec: float64 product, truncate
+            kth = min(int((1.0 - mid_occ_frac) * n), n - 1)
+            mo = kth_runlen(is_start, run_len, np.int32(kth))
+    return {"ih": ih, "irid": irid, "ips": ips, "mid_occ": mo,
+            "n_idx": n_idx, "n_tiles": len(tiles)}

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from longqc_tpu.config import OverlapConfig
+from longqc_tpu.engine import device_index as di
 from longqc_tpu.engine import overlap_host as oh
 from longqc_tpu.io.pack import pack_reads
 from longqc_tpu.ops.chain_pallas import (_chain_dp_pallas_t,
@@ -60,6 +61,13 @@ J = 64                 # chain-DP ring depth (ops/chain_pallas)
 CV = 512               # max accepted chains per (row, part) call
 EOUT = 4 * CV          # max emitted interval events per call
 A_BUCKETS = (2048, 8192, 32768, 131072)
+# fixed anchor-capacity ladder for the canonical-shape path: one step
+# program at A_LADDER[0] covers nearly every row; rows flagged F_ANCH
+# retry at the next rung (one extra dispatch) before host fallback
+A_LADDER = (32768, 131072)
+# canonical per-part read-count paddings (rid-indexed arrays in the
+# step program); rid packs into 24 bits
+B_PADS = (8192, 1 << 17, 1 << 21, 1 << 24)
 
 # flag bits (per row, per call)
 F_KERNEL = 1           # chain kernel truncation / max_skip disagreement
@@ -105,6 +113,15 @@ class StepStatic:
     interpret: bool
 
 
+def _async_pull(arr):
+    """Start a device->host copy without blocking (the tunnel transfer
+    overlaps subsequent dispatch work); np.asarray later is a wait."""
+    try:
+        arr.copy_to_host_async()
+    except AttributeError:
+        pass
+
+
 def _row_searchsorted(a, v, side="left"):
     """Per-row searchsorted: a (Q, Na) sorted rows, v (Q, Nv)."""
     return jax.vmap(lambda ar, vr: jnp.searchsorted(ar, vr, side=side))(a, v)
@@ -139,85 +156,6 @@ def _compact_rows(keys, payloads, width, fill_key):
 # part index build
 
 
-@functools.partial(jax.jit, static_argnames=("M",))
-def _flatten_sketch(emit, hsh, pos, strand, global_ids, *, M):
-    """(B, L) sketch output -> per-row compacted flat (h, rid, ps, cnt)
-    int32 arrays of B*M slots (INF32 hash sentinels on empties), plus
-    per-row emitting-slot counts (for overflow detection when M < L;
-    duplicate emissions ride the cnt field, so n <= L always)."""
-    B, L = emit.shape
-    has = (emit > 0) & (global_ids[:, None] >= 0)
-    posl = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :],
-                            (B, L))
-    order = jnp.argsort(jnp.where(has, posl, INF32), axis=1)[:, :M]
-    n = jnp.sum(has, axis=1).astype(jnp.int32)
-    slot_on = jnp.arange(M, dtype=jnp.int32)[None, :] < \
-        jnp.minimum(n, M)[:, None]
-
-    def take(a):
-        return jnp.take_along_axis(a, order, axis=1)
-
-    h = jnp.where(slot_on, take(hsh.astype(jnp.uint32).astype(jnp.int32)),
-                  INF32)
-    rid = jnp.where(slot_on,
-                    jnp.broadcast_to(global_ids[:, None].astype(jnp.int32),
-                                     (B, M)), 0)
-    ps = jnp.where(slot_on,
-                   take((pos.astype(jnp.int32) << 1)
-                        | strand.astype(jnp.int32)), 0)
-    cnt = jnp.where(slot_on, take(emit.astype(jnp.int32)), 0)
-    return (h.reshape(-1), rid.reshape(-1), ps.reshape(-1),
-            cnt.reshape(-1), n)
-
-
-@jax.jit
-def _index_sort(h, rid, ps, cnt):
-    """Sort flat minimizer entries by (hash, rid, ps), then expand
-    duplicate emissions (cnt > 1) into repeated slots so downstream
-    lookups are plain gathers.
-
-    Equivalent to MinimizerIndex's np.lexsort + np.unique
-    (overlap_host.py:52-61). Expansion runs once per part: slot starts
-    scatter into the weighted space, then a running max fills the gaps
-    (duplicates are rare, so the expanded array barely grows — it is
-    truncated back to the input width, flagging overflow).
-    """
-    hs, rids, pss, cnts = jax.lax.sort((h, rid, ps, cnt), dimension=0,
-                                       num_keys=3, is_stable=False)
-    valid = hs != INF32
-    N = h.shape[0]
-    wsum = jnp.cumsum(cnts, axis=0).astype(jnp.int32)
-    n_exp_total = wsum[-1]
-    # expansion map: slot i owns weighted positions [wsum[i-1], wsum[i])
-    wstart = jnp.concatenate([jnp.zeros((1,), jnp.int32), wsum[:-1]])
-    pos = jnp.arange(N, dtype=jnp.int32)
-    seed = jnp.zeros((N,), jnp.int32).at[
-        jnp.where(cnts > 0, wstart, N)].max(pos, mode="drop")
-    exp_src = jax.lax.associative_scan(jnp.maximum, seed)
-    exp_on = pos < n_exp_total
-    ih = jnp.where(exp_on, hs[exp_src], INF32)
-    irid = jnp.where(exp_on, rids[exp_src], 0)
-    ips = jnp.where(exp_on, pss[exp_src], 0)
-    overflow = n_exp_total > N
-
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ih[:-1]])
-    is_start = (ih != INF32) & (ih != prev)
-    n_keys = jnp.sum(is_start).astype(jnp.int32)
-    spos = jnp.sort(jnp.where(is_start, pos, INF32))
-    spos_next = jnp.concatenate([spos[1:], jnp.full((1,), INF32,
-                                                    jnp.int32)])
-    safe_next = jnp.where(spos_next == INF32,
-                          jnp.minimum(n_exp_total, N), spos_next)
-    key_counts = jnp.where(spos != INF32, safe_next - spos, INF32)
-    return ih, irid, ips, key_counts, n_keys, overflow
-
-
-@jax.jit
-def _mid_occ_from_counts(key_counts, kth):
-    srt = jnp.sort(key_counts)
-    return jax.lax.dynamic_index_in_dim(srt, kth, 0, False) + 1
-
-
 # ---------------------------------------------------------------------------
 # query group preparation
 
@@ -239,26 +177,6 @@ def _group_expand(qcnt, n_slots, *, M2):
 
 # ---------------------------------------------------------------------------
 # the per-(part, group) programs
-
-
-def _count_anchors_impl(ih, mid_occ, qh, e_src, *, M):
-    """Index lookup per sketch slot plus the pre-drop anchor count per
-    row (for A-bucket selection). The occ/left arrays feed _step so the
-    binary searches run once per (part, group)."""
-    left = jnp.searchsorted(ih, qh, side="left").astype(jnp.int32)
-    right = jnp.searchsorted(ih, qh, side="right").astype(jnp.int32)
-    occ_slot = right - left
-    Q = qh.shape[0]
-    pad1 = jnp.zeros((Q, 1), jnp.int32)
-    occ_e = jnp.take_along_axis(
-        jnp.concatenate([occ_slot, pad1], axis=1), e_src, axis=1)
-    kept = (occ_e < mid_occ) & (e_src < M)
-    n_q = jnp.sum(jnp.where(kept, occ_e, 0), axis=1).astype(jnp.int32)
-    return n_q, occ_slot, left
-
-
-_count_anchors = functools.partial(jax.jit, static_argnames=("M",))(
-    _count_anchors_impl)
 
 
 def _geom_ok(a, total, st: StepStatic):
@@ -345,7 +263,6 @@ def _geom_ok(a, total, st: StepStatic):
 
 
 def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
-               occ_slot, left_slot,
                qh, qpos, qstrand, e_src, n_exp, qlen, qrank, qbisect,
                qvalid, lam, lam2, avgk_set, m_cnts, limbs5,
                st: StepStatic):
@@ -361,8 +278,10 @@ def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
     rows = jax.lax.broadcasted_iota(jnp.int32, (Q, A), 0)
     k32 = jnp.int32(st.k)
 
-    # --- seed lookup & kept-minimizer list (lqmap.c:140-205);
-    # occ/left come precomputed from _count_anchors
+    # --- seed lookup & kept-minimizer list (lqmap.c:140-205)
+    left_slot = jnp.searchsorted(ih, qh, side="left").astype(jnp.int32)
+    right_slot = jnp.searchsorted(ih, qh, side="right").astype(jnp.int32)
+    occ_slot = right_slot - left_slot
     pad1 = jnp.zeros((Q, 1), jnp.int32)
     occ_e = jnp.take_along_axis(
         jnp.concatenate([occ_slot, pad1], axis=1), e_src, axis=1)
@@ -638,26 +557,12 @@ def _sharded_step(mesh, st: StepStatic):
     lane1 = P("data")
     lane2 = P("data", None)
     in_specs = (rep, rep, rep, rep, rep, rep,          # index
-                lane2, lane2,                          # occ/left
                 lane2, lane2, lane2, lane2, lane1,     # qh..n_exp
                 lane1, lane1, lane1, lane1,            # qlen..qvalid
                 lane1, lane1, lane1, lane2, rep)       # state + limbs
     out_specs = (lane1, lane1, lane1, lane2, lane1, lane2, lane1)
     fn = shard_map(functools.partial(_step_impl, st=st), mesh=mesh,
                    in_specs=in_specs, out_specs=out_specs,
-                   check_rep=False)
-    return jax.jit(fn)
-
-
-@functools.lru_cache(maxsize=64)
-def _sharded_count(mesh, M):
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    fn = shard_map(functools.partial(_count_anchors_impl, M=M),
-                   mesh=mesh,
-                   in_specs=(P(), P(), P("data", None), P("data", None)),
-                   out_specs=(P("data"), P("data", None), P("data", None)),
                    check_rep=False)
     return jax.jit(fn)
 
@@ -797,9 +702,19 @@ class _Group:
 
 
 class _PartIndex:
-    """Device-resident index over one target part + host-side metadata."""
+    """Device-resident index over one target part + host-side metadata.
 
-    def __init__(self, part, k, w, mid_occ_fixed, mid_occ_frac):
+    The index itself comes from engine/device_index.build_device_index
+    (canonical-shape tiles + merge-path combines); this wrapper adds the
+    per-part host metadata (name ranks for AVA ordering, rid-indexed
+    seq_lens at a canonical padding) and the lazy exact host index for
+    the per-row fallback. On IndexOverflowError (extreme adversarial
+    input) the part is marked host_only and every row is computed by the
+    host spec for this part.
+    """
+
+    def __init__(self, part, k, w, mid_occ_fixed, mid_occ_frac,
+                 ladder, n_idx_sizes):
         self.part = part
         self.names = [r[0] for r in part]
         uniq = sorted(set(self.names))
@@ -807,81 +722,28 @@ class _PartIndex:
         self.sorted_names = uniq
         B = len(part)
         assert B < (1 << 24), "part read count exceeds rid packing"
-        self.B_pad = _pow2_at_least(max(B, 1), 1024)
+        self.B_pad = next(b for b in B_PADS if B <= b)
         rid_rank = np.full(self.B_pad, -2, np.int32)
         rid_rank[:B] = [self.name_rank[n] for n in self.names]
         seq_lens = np.zeros(self.B_pad, np.int32)
         seq_lens[:B] = [len(r[1]) for r in part]
         self.rid_rank = jnp.asarray(rid_rank)
         self.seq_lens = jnp.asarray(seq_lens)
-
-        # sketch all part reads, bucketed by length; per-batch compaction
-        # halves the flat buffer (minimizer slot density is < 1/2 except
-        # on adversarial periodic reads, detected and rebuilt below)
-        buckets = {}
-        for i, r in enumerate(part):
-            buckets.setdefault(_len_bucket(len(r[1])), []).append(i)
-
-        def build_flats(slot_div):
-            flats, total = [], 0
-            for blen, idxs in sorted(buckets.items()):
-                rows_per = max(1, (1 << 21) // blen)
-                M = blen // slot_div
-                for off in range(0, len(idxs), rows_per):
-                    sel = idxs[off:off + rows_per]
-                    rows = [part[i] for i in sel]
-                    gids = np.full(rows_per, -1, np.int32)
-                    gids[:len(sel)] = sel
-                    while len(rows) < rows_per:
-                        rows.append(["\0pad", "A" * k, ""])
-                    batch = pack_reads(rows, max_len=blen, pad_to=blen,
-                                       with_quals=False)
-                    res = sketch_batch(jnp.asarray(batch.codes),
-                                       jnp.asarray(batch.lengths),
-                                       w=w, k=k)
-                    flats.append(_flatten_sketch(
-                        res["emit"], res["hash"], res["pos"],
-                        res["strand"], jnp.asarray(gids), M=M))
-                    total += rows_per * M
-            return flats, total
-
-        flats, total = build_flats(2)
-        n_over = sum(int(jnp.sum(f[4] > (f[0].shape[0] // f[4].shape[0])))
-                     for f in flats)
-        if n_over:
-            # some read's emitting-slot count exceeded blen/2: rebuild
-            # with full-width slots (n <= L always, so this is exact)
-            logger.info("index sketch: %d rows overflow blen/2 slots; "
-                        "rebuilding at full width", n_over)
-            flats, total = build_flats(1)
-        N_pad = _pow2_at_least(max(total, 1), 1 << 16)
-
-        while True:
-            def cat(j, fill):
-                parts_ = [f[j] for f in flats]
-                parts_.append(jnp.full((N_pad - total,), fill, jnp.int32))
-                return jnp.concatenate(parts_)
-
-            (self.ih, self.irid, self.ips,
-             key_counts, n_keys, overflow) = _index_sort(
-                cat(0, INF32), cat(1, 0), cat(2, 0), cat(3, 0))
-            if not bool(overflow):
-                break
-            # duplicate expansion outgrew the pad: widen and redo
-            N_pad *= 2
-        if mid_occ_fixed:
-            self.mid_occ = jnp.asarray(np.int32(mid_occ_fixed))
-        else:
-            # kth selection mirrors MinimizerIndex.mid_occ
-            # (index.c:123-144): host computes kth from the pulled key
-            # count (one 4-byte sync per part)
-            n = int(n_keys)
-            if n == 0:
-                self.mid_occ = jnp.asarray(np.int32(1))
-            else:
-                kth = min(int((1.0 - mid_occ_frac) * n), n - 1)
-                self.mid_occ = _mid_occ_from_counts(key_counts,
-                                                    np.int32(kth))
+        self.host_only = False
+        try:
+            idx = di.build_device_index(
+                part, k, w, ladder=ladder, n_idx_sizes=n_idx_sizes,
+                mid_occ_fixed=mid_occ_fixed, mid_occ_frac=mid_occ_frac)
+            self.ih = idx["ih"]
+            self.irid = idx["irid"]
+            self.ips = idx["ips"]
+            self.mid_occ = idx["mid_occ"]
+        except di.IndexOverflowError:
+            logger.warning("device index overflow; part falls back to "
+                           "the host path")
+            self.host_only = True
+            self.ih = self.irid = self.ips = None
+            self.mid_occ = None
         self._host_index = None
         self._k, self._w = k, w
 
@@ -902,12 +764,23 @@ class DeviceOverlapEngine:
     """
 
     def __init__(self, cfg: OverlapConfig, query_reads, interpret=None,
-                 mesh=None, lanes_per_shard=GROUP_Q):
+                 mesh=None, lanes_per_shard=GROUP_Q, a_ladder=None,
+                 geometry=None):
         """mesh: optional jax.sharding.Mesh with a "data" axis. Query
         lanes are sharded over it and the part index rides replicated
         (the reference's only scale axis — per-read-owned accumulators,
         minimap2-coverage.c:434-444). Each shard gets lanes_per_shard
-        lanes (128 = one full vreg lane width on TPU)."""
+        lanes (128 = one full vreg lane width on TPU).
+
+        a_ladder: anchor-capacity rungs. The first rung is the only
+        step program in steady state; rows that overflow it (F_ANCH)
+        retry at the next rung before falling back to the host. On TPU
+        the default is A_LADDER (few big canonical shapes — compile
+        cost rules); elsewhere the legacy fine-grained buckets (exec
+        cost rules under the interpreter).
+        geometry: "big"/"small" tile+index canonical shapes
+        (device_index.TILE_LADDER[_SMALL]); default big on TPU.
+        """
         if cfg.index.is_hpc:
             raise NotImplementedError(
                 "HPC sketch (pb-hifi / --filter) uses the host path")
@@ -918,9 +791,21 @@ class DeviceOverlapEngine:
             raise NotImplementedError(
                 "no fixed-point gap-penalty multiplier for this (k, bw)")
         self.limbs5 = jnp.asarray(limbs)
+        on_tpu = jax.default_backend() == "tpu"
         if interpret is None:
-            interpret = jax.default_backend() != "tpu"
+            interpret = not on_tpu
         self.interpret = interpret
+        if a_ladder is None:
+            a_ladder = A_LADDER if on_tpu else A_BUCKETS
+        self.a_ladder = tuple(a_ladder)
+        if geometry is None:
+            geometry = "big" if on_tpu else "small"
+        if geometry == "big":
+            self.tile_ladder = di.TILE_LADDER
+            self.n_idx_sizes = di.N_IDX_SIZES
+        else:
+            self.tile_ladder = di.TILE_LADDER_SMALL
+            self.n_idx_sizes = di.N_IDX_SIZES_SMALL
         self.mesh = mesh
         self.lanes = lanes_per_shard * (mesh.devices.size if mesh is not None
                                         else 1)
@@ -945,6 +830,7 @@ class DeviceOverlapEngine:
                     self.host_state[qi] = oh.ReadState(len(sk[0]))
         self.n_host_fallback = 0
         self.n_device_calls = 0
+        self.n_retry_steps = 0
         self.phase_s = defaultdict(float)   # wall time per phase
         self.flag_counts = defaultdict(int)
 
@@ -978,7 +864,8 @@ class DeviceOverlapEngine:
         def build(part):
             t0 = time.time()
             pidx = _PartIndex(part, self.k, self.w, cfg.map.mid_occ,
-                              cfg.map.mid_occ_frac)
+                              cfg.map.mid_occ_frac,
+                              self.tile_ladder, self.n_idx_sizes)
             self.phase_s["index"] += time.time() - t0
             return pidx
 
@@ -995,14 +882,56 @@ class DeviceOverlapEngine:
         self.phase_s["finalize"] += time.time() - t0
         return rows
 
-    def _run_part(self, pidx, progress):
-        """All query groups against one part, in three waves so device
-        dispatches are in flight while earlier groups' results stream
-        back (instead of a blocking round trip per group)."""
-        t0 = time.time()
+    def _step_group(self, g, pidx, qrank_d, qbisect_d, qvalid, A):
+        st = self._static(g, A)
         if self.mesh is not None:
-            count_fns = {g.M: _sharded_count(self.mesh, g.M)
-                         for g in self.groups}
+            step_fn = _sharded_step(self.mesh, st)
+        else:
+            step_fn = functools.partial(_step, st=st)
+        (g.lam, g.lam2, g.avgk_set, g.m_cnts, flags, events,
+         ev_n) = step_fn(
+            pidx.ih, pidx.irid, pidx.ips, pidx.seq_lens,
+            pidx.rid_rank, pidx.mid_occ,
+            g.qh, g.qpos, g.qstrand, g.e_src, g.n_exp,
+            g.qlen, qrank_d, qbisect_d, qvalid,
+            g.lam, g.lam2, g.avgk_set, g.m_cnts, self.limbs5)
+        self.n_device_calls += 1
+        return flags, events, ev_n
+
+    def _commit_rows(self, g, want, flags_np, events, ev_n_np, progress):
+        """Pull and record interval events for rows of `want` that came
+        back clean; return the rows that still need work."""
+        t0 = time.time()
+        good = [r for r in want
+                if not flags_np[r] and not g.perm_host[r]]
+        w = int(ev_n_np[good].max()) if good else 0
+        if w > 0:
+            w = _pow2_at_least(w, 64)
+            ev_np = np.asarray(events[:, :w])
+        for r in good:
+            qi = g.qids[r]
+            n = int(ev_n_np[r])
+            if n:
+                self.events[qi].extend(int(x) for x in ev_np[r, :n])
+            if progress:
+                progress(qi)
+        self.phase_s["pull"] += time.time() - t0
+        return [r for r in want if flags_np[r] or g.perm_host[r]]
+
+    def _run_part(self, pidx, progress):
+        """All query groups against one part: dispatch every group's
+        step at the base anchor rung, then pull asynchronously; rows
+        that overflowed the rung (F_ANCH) retry at bigger rungs, and
+        whatever remains flagged is recomputed exactly on the host."""
+        if pidx.host_only:
+            t0 = time.time()
+            for g in self.groups:
+                self._host_fix(g, pidx, list(range(len(g.qids))),
+                               progress)
+            self.phase_s["host_fix"] += time.time() - t0
+            return
+
+        t0 = time.time()
         pend = []
         for g in self.groups:
             qrank = np.full(self.lanes, -1, np.int32)
@@ -1012,60 +941,46 @@ class DeviceOverlapEngine:
                 qrank[r] = pidx.name_rank.get(qname, -1)
                 if self.cfg.ava:
                     qbisect[r] = bisect_left(pidx.sorted_names, qname)
-            if self.mesh is not None:
-                count_fn = count_fns[g.M]
-            else:
-                count_fn = functools.partial(_count_anchors, M=g.M)
-            n_q_d, occ_slot, left_slot = count_fn(
-                pidx.ih, pidx.mid_occ, g.qh, g.e_src)
-            pend.append((g, n_q_d, occ_slot, left_slot,
-                         jnp.asarray(qrank), jnp.asarray(qbisect)))
-        self.phase_s["count"] += time.time() - t0
-
-        t0 = time.time()
-        stepped = []
-        for g, n_q_d, occ_slot, left_slot, qrank_d, qbisect_d in pend:
-            n_q = np.asarray(n_q_d)
-            n_max = int(n_q[:len(g.qids)].max()) if len(g.qids) else 0
-            A = next((a for a in A_BUCKETS if n_max <= a), A_BUCKETS[-1])
-            st = self._static(g, A)
-            if self.mesh is not None:
-                step_fn = _sharded_step(self.mesh, st)
-            else:
-                step_fn = functools.partial(_step, st=st)
-            (g.lam, g.lam2, g.avgk_set, g.m_cnts, flags, events,
-             ev_n) = step_fn(
-                pidx.ih, pidx.irid, pidx.ips, pidx.seq_lens,
-                pidx.rid_rank, pidx.mid_occ, occ_slot, left_slot,
-                g.qh, g.qpos, g.qstrand, g.e_src, g.n_exp,
-                g.qlen, qrank_d, qbisect_d, g.qvalid,
-                g.lam, g.lam2, g.avgk_set, g.m_cnts, self.limbs5)
-            self.n_device_calls += 1
-            stepped.append((g, flags, events, ev_n))
+            qrank_d = jnp.asarray(qrank)
+            qbisect_d = jnp.asarray(qbisect)
+            flags, events, ev_n = self._step_group(
+                g, pidx, qrank_d, qbisect_d, g.qvalid, self.a_ladder[0])
+            pend.append([g, qrank_d, qbisect_d, flags, events, ev_n])
+        for p in pend:   # overlap the transfers with remaining compute
+            _async_pull(p[3])
+            _async_pull(p[5])
         self.phase_s["step"] += time.time() - t0
 
-        for g, flags, events, ev_n in stepped:
-            t0 = time.time()
-            flags_np = np.asarray(flags)
-            for r in range(len(g.qids)):
+        for g, qrank_d, qbisect_d, flags, events, ev_n in pend:
+            flags_np = np.array(flags)    # writable: retries patch rows
+            ev_n_np = np.array(ev_n)
+            want = list(range(len(g.qids)))
+            bad = self._commit_rows(g, want, flags_np, events, ev_n_np,
+                                    progress)
+            for rung in range(1, len(self.a_ladder)):
+                retry = [r for r in bad
+                         if (flags_np[r] & F_ANCH) and not g.perm_host[r]]
+                if not retry:
+                    break
+                t0 = time.time()
+                qv = np.zeros(self.lanes, np.int32)
+                qv[retry] = 1
+                flags2, events2, ev_n2 = self._step_group(
+                    g, pidx, qrank_d, qbisect_d, jnp.asarray(qv),
+                    self.a_ladder[rung])
+                self.n_retry_steps += 1
+                f2 = np.asarray(flags2)
+                e2 = np.asarray(ev_n2)
+                for r in retry:
+                    flags_np[r] = f2[r]
+                    ev_n_np[r] = e2[r]
+                self.phase_s["step"] += time.time() - t0
+                bad2 = self._commit_rows(g, retry, flags_np, events2,
+                                         ev_n_np, progress)
+                bad = [r for r in bad if r not in retry] + bad2
+            for r in bad:
                 if flags_np[r]:
                     self.flag_counts[int(flags_np[r])] += 1
-            ev_n_np = np.asarray(ev_n)
-            w = int(ev_n_np.max()) if len(g.qids) else 0
-            if w > 0:
-                w = _pow2_at_least(w, 64)
-                ev_np = np.asarray(events[:, :w])
-            for r, qi in enumerate(g.qids):
-                if flags_np[r] or g.perm_host[r]:
-                    continue
-                n = int(ev_n_np[r])
-                if n:
-                    self.events[qi].extend(int(x) for x in ev_np[r, :n])
-                if progress:
-                    progress(qi)
-            self.phase_s["pull"] += time.time() - t0
-            bad = [r for r in range(len(g.qids))
-                   if flags_np[r] or g.perm_host[r]]
             if bad:
                 t0 = time.time()
                 self._host_fix(g, pidx, bad, progress)

@@ -82,7 +82,8 @@ def _sliding_rightmost_min(x, w):
     return vals, idxs
 
 
-def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
+def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None,
+                 seg=None):
     """Batched minimizer sketch over padded (B, L) code tiles.
 
     positions/spans: optional (B, L) overrides for homopolymer-compressed
@@ -90,6 +91,17 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
     index in the original read, spans = windowed sum of the last <=k run
     lengths, cf. sketch.c:92-104). Default: positions = arange,
     span = k (plain mode).
+
+    seg: optional (B, L) int32 read-segment ids for multi-read packed
+    rows (non-decreasing along each row). Each segment must open with
+    >= w-1 ambiguous separator bases owned by THAT segment (so no
+    sliding window ending at one segment's entry can reach an earlier
+    segment's entries), and the emission rules are gated so every
+    segment sketches exactly as if it were a standalone read: rule-A
+    reigns only count windows ending in the same segment, the final
+    push fires at each segment's last entry, and rules B/C only look
+    ahead within the segment. Differentially tested per read against
+    the single-read path (tests/test_sketch_packed.py).
 
     Returns dict with (B, L) arrays aligned to buffer-entry positions:
       emit:   per-entry emission count (0 => not a minimizer)
@@ -203,6 +215,12 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
     ls = compact(l_r, 0)
     sspace = jnp.arange(L, dtype=jnp.int32)[None, :] < n_S[:, None]
     xs = jnp.where(sspace, xs, UMAX)
+    seg_s = None
+    if seg is not None:
+        # entry-space segment ids; padding gets a sentinel so it never
+        # matches a real segment
+        seg_s = jnp.where(sspace, compact(seg.astype(jnp.int32), 0),
+                          jnp.int32(1 << 30))
 
     # --- rightmost sliding minima
     wx, widx = _sliding_rightmost_min(xs, w)
@@ -219,6 +237,11 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
         shifted = jnp.pad(widx_eff, ((0, 0), (0, d)),
                           constant_values=-1)[:, d:]
         hit = shifted == sarange
+        if seg_s is not None:
+            # only windows ending in p's own segment count as reigns
+            seg_sh = jnp.pad(seg_s, ((0, 0), (0, d)),
+                             constant_values=-1)[:, d:]
+            hit = hit & (seg_sh == seg_s)
         reign_end = jnp.maximum(reign_end,
                                 jnp.where(hit, sarange + d, -1))
 
@@ -228,9 +251,14 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
     e_next = jnp.clip(e + 1, 0, L - 1)
     x_next = jnp.take_along_axis(xs, e_next, axis=1)
     l_next = jnp.take_along_axis(ls, e_next, axis=1)
-    final_push = has_reign & (e == n_s - 1)
-    replace_push = has_reign & (e < n_s - 1) & (x_next <= xs) & (l_next >= w + k)
-    disp_push = has_reign & (e < n_s - 1) & (x_next > xs) & (l_next >= w + k - 1)
+    at_end = e == n_s - 1
+    if seg_s is not None:
+        # a segment's last entry plays the standalone read's final entry
+        seg_next = jnp.take_along_axis(seg_s, e_next, axis=1)
+        at_end = at_end | (seg_next != seg_s)
+    final_push = has_reign & at_end
+    replace_push = has_reign & ~at_end & (x_next <= xs) & (l_next >= w + k)
+    disp_push = has_reign & ~at_end & (x_next > xs) & (l_next >= w + k - 1)
     emitA = (final_push | replace_push | disp_push) & (xs != UMAX)
 
     # --- rules B and C per offset d in [1, w-1]
@@ -250,6 +278,11 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
         # B: t0 = p + d
         t0 = jnp.clip(sarange + d, 0, L - 1)
         valid_off = (sarange + d) < n_s
+        if seg_s is not None:
+            # look-ahead stays within p's segment (standalone machines
+            # have no windows past their own last entry)
+            valid_off = valid_off & \
+                (jnp.take_along_axis(seg_s, t0, axis=1) == seg_s)
         t0m1 = jnp.clip(t0 - 1, 0, L - 1)
         b_hit = (jnp.take_along_axis(is_t0, t0, axis=1)
                  & (xs == jnp.take_along_axis(wx, t0m1, axis=1))
@@ -266,13 +299,16 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None):
         countC = countC + c_hit.astype(jnp.int32)
 
     emit = emitA.astype(jnp.int32) + countB + countC
-    return {
+    out = {
         "emit": emit,
         "hash": xs,
         "pos": ys_pos,
         "strand": ys_strand,
         "n_entries": n_S,
     }
+    if seg_s is not None:
+        out["seg"] = seg_s
+    return out
 
 
 def sketch_to_lists(res, k=None):
