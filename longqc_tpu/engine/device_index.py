@@ -48,7 +48,10 @@ from longqc_tpu.ops.sketch import _sketch_core
 TILE_LADDER = ((256, 8192), (32, 65536), (4, 524288))
 JUMBO_W = 1 << 22          # single-row tiles for ultra-long reads
 READS_PER_ROW = 64
-N_IDX_SIZES = (1 << 16, 1 << 20, 1 << 24)
+# one canonical index width on the production geometry: every part pads
+# to it, so exactly ONE step program exists per (M, A) — compile time
+# rules on this backend and the pad is a sub-ms copy into HBM
+N_IDX_SIZES = (1 << 24,)
 
 # small-geometry ladder for tests / tiny workloads (same code paths,
 # cheap compiles on the CPU backend)

@@ -157,6 +157,19 @@ def run_sampleqc(input_path, out_dir, preset_name, *, nsample=5000,
         logger.info("index prefetch started (-d): %d spec(s)", len(specs))
 
     # ---------------- chunk loop ----------------
+    # The reference overlaps its chunk stages with worker pools:
+    # adapter-cut and subsample ride Pool(2).apply_async
+    # (longQC.py:280,314-341) and sdust a Pool of <= 10 subprocesses
+    # (lq_mask.py:41,110). Same overlap here with threads: the next
+    # chunk's parse prefetches on a reader thread while the current
+    # chunk computes, and the masking stage (device dispatch + exact
+    # host recursion for flagged reads) runs concurrently with the
+    # adapter search / reservoir sampling / GC stages. JAX dispatch is
+    # thread-safe; device programs serialize on-chip, so the win is the
+    # host-side time (parse, exact sdust, bookkeeping).
+    import concurrent.futures as cf
+    import time as _time
+
     lm = MaskAccumulator(analysis_dir, suffix=suffix or "")
     lg = GCAccumulator(chunk_size=150)
     num_trim5 = num_trim3 = 0
@@ -166,45 +179,58 @@ def run_sampleqc(input_path, out_dir, preset_name, *, nsample=5000,
     s_reads = []
     n_seqs = n_bases = 0
     chunk_n = 0
-    for (reads, n_seqs, n_bases) in open_seq_chunk(
-            input_path, file_format_code,
-            chunk_size=int(mem * 1024 ** 3), is_upper=True):
-        if file_format_code in (FORMAT_BAM, FORMAT_FAST5):
-            write_fastq(fastx_path, reads, is_chunk=True)
-        logger.info("chunk %d: %d reads", chunk_n, len(reads))
-        lm.add_chunk(reads)
-        if adp5 or adp3:
-            trim_reads = ([copy.copy(r) for r in reads]
-                          if trim_out else reads)
-            work = trim_reads if trim_out else \
-                [list(r) for r in reads]  # search on copies: stream stays
-            res = cut_adapter(work, adp_t=adp5, adp_b=adp3,
-                              th=C.ADAPTER_IDENTITY_THRESHOLD,
-                              length=C.ADAPTER_SEARCH_LENGTH)
-            if adp5 and adp3:
-                t5, t3 = res
-            elif adp5:
-                t5, t3 = res, None
-            else:
-                t5, t3 = None, res
-            if trim_out:
-                write_fastq(trim_out, work, is_chunk=True)
-            if t5:
-                if t5[0] > max_iden_adp5:
-                    max_iden_adp5 = t5[0]
-                num_trim5 += t5[1]
-                adp_pos5.extend(t5[2])
-            if t3:
-                if t3[0] > max_iden_adp3:
-                    max_iden_adp3 = t3[0]
-                num_trim3 += t3[1]
-                adp_pos3.extend(t3[2])
-        s_reads = subsample_from_chunk(reads, cum_n_seq, s_reads, nsample,
-                                       s_seed=C.SUBSAMPLE_SEED)
-        lg.add_batch(_pack(reads))
-        chunk_n += 1
-        cum_n_seq = n_seqs
+    t_wall0 = _time.time()
+    t_mask = t_rest = 0.0
+    chunk_iter = _prefetch_iter(open_seq_chunk(
+        input_path, file_format_code,
+        chunk_size=int(mem * 1024 ** 3), is_upper=True))
+    with cf.ThreadPoolExecutor(max_workers=1) as pool:
+        for (reads, n_seqs, n_bases) in chunk_iter:
+            if file_format_code in (FORMAT_BAM, FORMAT_FAST5):
+                write_fastq(fastx_path, reads, is_chunk=True)
+            logger.info("chunk %d: %d reads", chunk_n, len(reads))
+            t0 = _time.time()
+            mask_fut = pool.submit(lm.add_chunk, reads)
+            if adp5 or adp3:
+                trim_reads = ([copy.copy(r) for r in reads]
+                              if trim_out else reads)
+                work = trim_reads if trim_out else \
+                    [list(r) for r in reads]  # search copies: stream stays
+                res = cut_adapter(work, adp_t=adp5, adp_b=adp3,
+                                  th=C.ADAPTER_IDENTITY_THRESHOLD,
+                                  length=C.ADAPTER_SEARCH_LENGTH)
+                if adp5 and adp3:
+                    t5, t3 = res
+                elif adp5:
+                    t5, t3 = res, None
+                else:
+                    t5, t3 = None, res
+                if trim_out:
+                    write_fastq(trim_out, work, is_chunk=True)
+                if t5:
+                    if t5[0] > max_iden_adp5:
+                        max_iden_adp5 = t5[0]
+                    num_trim5 += t5[1]
+                    adp_pos5.extend(t5[2])
+                if t3:
+                    if t3[0] > max_iden_adp3:
+                        max_iden_adp3 = t3[0]
+                    num_trim3 += t3[1]
+                    adp_pos3.extend(t3[2])
+            s_reads = subsample_from_chunk(reads, cum_n_seq, s_reads,
+                                           nsample,
+                                           s_seed=C.SUBSAMPLE_SEED)
+            lg.add_batch(_pack(reads))
+            t_rest += _time.time() - t0
+            t0 = _time.time()
+            mask_fut.result()
+            t_mask += _time.time() - t0
+            chunk_n += 1
+            cum_n_seq = n_seqs
     logger.info("parsed input. #seqs:%d #bases:%d", n_seqs, n_bases)
+    logger.info("chunk stages: %.1fs wall (adapter/sample/GC %.1fs "
+                "overlapped with masking, +%.1fs mask wait)",
+                _time.time() - t_wall0, t_rest, t_mask)
     lm.close()
 
     # ---------------- mask-based sample exclusion ----------------
@@ -456,6 +482,34 @@ class _IndexPrefetcher:
         return None
 
 
+def _prefetch_iter(gen, depth=1):
+    """Run a generator on a reader thread with a bounded queue: the
+    next chunk parses while the current one computes (the kt_pipeline
+    read stage, kthread.c:129-158)."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    DONE = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(DONE)
+        except BaseException as e:   # surfaced on the consumer side
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def root_logger_cleanup(fh):
     logging.getLogger().removeHandler(fh)
     fh.close()
@@ -477,6 +531,7 @@ def _build_root_dict(tobe_json, lc, preset, suffix, figp, s_n_seqs,
                      num_trim5, num_trim3, adp_pos5, adp_pos3,
                      nonsense_warn, nonsense_err, very_low_cov, transcript):
     root = {}
+    root["suffix"] = (" - " + suffix) if suffix else ""
     stats = OrderedDict()
     stats["Sample name"] = suffix if suffix else "-"
     stats["Yield"] = throughput

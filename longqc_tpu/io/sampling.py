@@ -29,7 +29,7 @@ def subsample_from_chunk(chunk, cum_n_seq, s_reads, param, s_seed=7,
     if param >= 1.0:
         num = int(param)
         if not s_reads:
-            logger.info("list for subsample is not initialized. Initializing now.")
+            logger.info("reservoir list empty; allocating %d slots", num)
             s_reads = [0] * num
     else:
         frac = param

@@ -75,50 +75,58 @@ def set_subreads(zmws, bam, snr):
                 snr[i].append(f)
 
 
-def construct_polread(l):
+def construct_polread(frags):
     """Rebuild one ZMW's polymerase read from (start, end, class)
-    fragments -> (qual_cigar, type_cigar, hq_len, total_len, is_polread,
-    n_adapters); exact port of the reference state machine
-    (lq_sequel.py:76-137)."""
-    _end = 0
-    _hs = _he = -1
-    s_flag = a_flag = False
-    tot = 0
-    hq = 0
-    ad_num = 0
-    ql, st = [], []
-    for s, e, c in sorted(l, key=itemgetter(0, 1)):
-        if _end != 0 and _end != s:
-            if _hs >= 0:
-                hq -= s - _end - 1
-            ql.append("%d%s" % (s - _end - 1, "G"))
-            st.append("%d%s" % (s - _end - 1, "G"))
-            tot += s - _end - 1
-        _end = e
-        if c == "L":
-            if _hs >= 0:
-                hq += _he - _hs
-                ql.append("%d%s" % (_he - _hs + 1, "H"))
-                _he = _hs = -1
-            ql.append("%d%s" % (e - s + 1, c))
+    fragments -> (qual_cigar, type_cigar, hq_len, total_len,
+    has_subread, n_adapters).
+
+    Walks the fragments in coordinate order keeping one open
+    high-quality window: subread (S) and adapter (A) fragments extend
+    it, a low-quality fragment (L) flushes it, and coordinate gaps
+    between fragments are emitted as G ops and charged against an open
+    window. Behavior matches the reference ZMW reconstruction
+    (lq_sequel.py:76-137); differentially tested in test_platform.py.
+    """
+    prev_end = 0
+    hq_open = hq_close = -1
+    has_subread = False
+    n_adapters = 0
+    total = 0
+    hq_len = 0
+    qual_ops, type_ops = [], []
+    for start, end, cls in sorted(frags, key=itemgetter(0, 1)):
+        if prev_end != 0 and prev_end != start:
+            gap = start - prev_end - 1
+            if hq_open >= 0:
+                hq_len -= gap
+            qual_ops.append("%dG" % gap)
+            type_ops.append("%dG" % gap)
+            total += gap
+        prev_end = end
+        if cls == "L":
+            if hq_open >= 0:
+                hq_len += hq_close - hq_open
+                qual_ops.append("%dH" % (hq_close - hq_open + 1))
+                hq_open = hq_close = -1
+            qual_ops.append("%dL" % (end - start + 1))
         else:
-            if _hs < 0:
-                _hs = s
-            _he = e
-            if c == "S":
-                s_flag = True
-            elif c == "A":
-                a_flag = True
-                ad_num += 1
-        tot += e - s
-        st.append("%d%s" % (e - s + 1, c))
-    if _hs >= 0:
-        hq += _he - _hs
-        ql.append("%d%s" % (_he - _hs + 1, "H"))
-    if hq > 0:
-        hq += 1
-    tot += 1
-    return ("".join(ql), "".join(st), hq, tot, s_flag, ad_num)
+            if hq_open < 0:
+                hq_open = start
+            hq_close = end
+            if cls == "S":
+                has_subread = True
+            elif cls == "A":
+                n_adapters += 1
+        total += end - start
+        type_ops.append("%d%s" % (end - start + 1, cls))
+    if hq_open >= 0:
+        hq_len += hq_close - hq_open
+        qual_ops.append("%dH" % (hq_close - hq_open + 1))
+    if hq_len > 0:
+        hq_len += 1
+    total += 1
+    return ("".join(qual_ops), "".join(type_ops), hq_len, total,
+            has_subread, n_adapters)
 
 
 def parse_sts_xml(filepath, ns=SEQUEL_NS):

@@ -90,3 +90,83 @@ def test_sampleqc_short_mode(tmp_path):
     cov = open(os.path.join(out, "analysis", "minimap2",
                             "coverage_out.txt")).read().strip()
     assert len(cov.splitlines()) > 0
+
+
+@pytest.mark.slow
+def test_sampleqc_gzip_input(tmp_path):
+    """gzipped FASTQ end-to-end (format sniffing through gzip, chunked
+    streaming, same outputs)."""
+    import gzip
+
+    from longqc_tpu.engine.pipeline import run_sampleqc
+
+    rng = np.random.RandomState(31)
+    genome = make_genome(rng, 9000)
+    reads = sample_reads(rng, genome, 50, min_len=600, max_len=1500,
+                         err=0.1, junk_frac=0.1)
+    fq = str(tmp_path / "in.fq.gz")
+    with gzip.open(fq, "wt") as f:
+        for name, seq, qual in reads:
+            f.write("@%s\n%s\n+\n%s\n" % (name, seq, qual))
+
+    out = str(tmp_path / "out")
+    res = run_sampleqc(fq, out, "ont-ligation", nsample=30)
+    assert res["Num_of_reads"] == 50
+    assert res["Yield"] == sum(len(r[1]) for r in reads)
+    assert os.path.exists(os.path.join(
+        out, "analysis", "minimap2", "coverage_out.txt"))
+
+
+@pytest.mark.slow
+def test_sampleqc_pb_hifi_preset(tmp_path):
+    """pb-hifi preset end-to-end: HPC k=15 overlap run + the HPC
+    spike-in filter run + the PacBio non-sense thresholds."""
+    from longqc_tpu.engine.pipeline import run_sampleqc
+
+    rng = np.random.RandomState(37)
+    genome = make_genome(rng, 9000)
+    reads = sample_reads(rng, genome, 50, min_len=600, max_len=1500,
+                         err=0.02, junk_frac=0.05)
+    fq = str(tmp_path / "in.fq")
+    write_fastq_file(fq, reads)
+
+    out = str(tmp_path / "out")
+    res = run_sampleqc(fq, out, "pb-hifi", nsample=30)
+    assert res["Num_of_reads"] == 50
+    assert "Coverage_stats" in res
+    # the spike-in control filter run must have produced its table
+    assert os.path.exists(os.path.join(
+        out, "analysis", "minimap2", "spiked_in_control.txt"))
+
+
+@pytest.mark.slow
+def test_sampleqc_transcript_mode(tmp_path):
+    """-t/--transcript: the lognormal+normal mixture path drives the
+    coverage stats (Mode/mu/sigma keys instead of Mean/SD)."""
+    from longqc_tpu.engine.pipeline import run_sampleqc
+
+    rng = np.random.RandomState(41)
+    # transcript-like: a few short "transcripts" sampled with very
+    # skewed abundances -> low/skewed per-read coverage
+    transcripts = [make_genome(rng, n) for n in (2000, 3000, 2500)]
+    reads = []
+    for i in range(60):
+        t = transcripts[0] if i % 3 else transcripts[i % len(transcripts)]
+        r = sample_reads(rng, t, 1, min_len=500,
+                         max_len=max(600, len(t) - 1), err=0.08,
+                         junk_frac=0.15)[0]
+        r[0] = "read%05d" % i
+        reads.append(r)
+    fq = str(tmp_path / "in.fq")
+    write_fastq_file(fq, reads)
+
+    out = str(tmp_path / "out")
+    res = run_sampleqc(fq, out, "ont-ligation", nsample=40,
+                       transcript=True)
+    cov = res["Coverage_stats"]
+    # lognormal+normal mixture path engaged (lq_coverage.py:552-566):
+    # transcript mode reports Mode/mu/sigma, not Mean/SD
+    assert "Mode_coverage" in cov
+    assert "mu_coverage" in cov and "sigma_coverage" in cov
+    assert "Mean_coverage" not in cov
+    assert cov["sigma_coverage"] > 0
