@@ -132,6 +132,27 @@ def n_cache_entries():
 
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
+    if os.environ.get("BENCH_STACK_DUMPS"):
+        import faulthandler
+        faulthandler.dump_traceback_later(
+            int(os.environ["BENCH_STACK_DUMPS"]), repeat=True,
+            file=sys.stderr)
+
+    # absorb the tunnel's first-pull stall + feed the remote compiler
+    # all canonical programs concurrently while data/baseline run below
+    from longqc_tpu.parallel.warm import start_warm_pull
+    from longqc_tpu.config import OverlapConfig, IndexOpt, MapOpt, FltOpt
+    cfg = OverlapConfig(
+        index=IndexOpt(k=12, w=5),
+        map=MapOpt(min_score_med=80, min_score_good=160),
+        flt=FltOpt(min_ovlp=0))
+    import jax
+    if jax.default_backend() == "tpu":
+        start_warm_pull()
+        from longqc_tpu.engine.device_overlap import A_LADDER, precompile
+        # base anchor rung only: the big retry rung compiles lazily on
+        # first F_ANCH overflow (and its compile is far more expensive)
+        precompile(cfg, [4096], a_rungs=A_LADDER[:1], background=True)
 
     from util_synth import make_genome, sample_reads, write_fastq_file
 
@@ -176,14 +197,6 @@ def main():
             % (ref_wall, N_TARGET / ref_wall, ncpu))
 
     # ---- engine warm-up (compiles; persistent cache across runs) ----
-    from longqc_tpu.config import OverlapConfig, IndexOpt, MapOpt, FltOpt
-
-    cfg = OverlapConfig(
-        index=IndexOpt(k=12, w=5),
-        map=MapOpt(min_score_med=80, min_score_good=160),
-        flt=FltOpt(min_ovlp=0),
-    )
-
     cache_before = n_cache_entries()
     log("warm-up pass (cache entries on disk: %d)..." % cache_before)
     t0 = time.time()

@@ -346,11 +346,21 @@ def index_runlens(ih):
     return is_start, run_len, n_keys
 
 
+@functools.partial(jax.jit, static_argnames=("frac",))
+def kth_of(n_keys, *, frac):
+    """kth index for the occurrence quantile, computed on device
+    bit-exactly like the host spec: float64 product (round-to-nearest)
+    then truncation, clamped to n-1 (int((1.0 - frac) * n))."""
+    n64 = n_keys.astype(jnp.float64)
+    kth = jnp.trunc((1.0 - frac) * n64).astype(jnp.int32)
+    return jnp.minimum(kth, n_keys - 1)
+
+
 @functools.partial(jax.jit, static_argnames=("max_occ_bits",))
 def kth_runlen(is_start, run_len, kth, max_occ_bits=21):
     """kth-smallest run length (+1) by binary search on the VALUE — no
     sort of the counts (mm_idx_cal_max_occ quantile, index.c:123-144).
-    kth is computed on host exactly like the host-spec index
+    kth comes from kth_of (device) or the host equivalent
     (int((1.0 - frac) * n): float64 round-to-nearest then truncate)."""
     lo = jnp.int32(0)
     hi = jnp.int32(1 << max_occ_bits)
@@ -377,56 +387,10 @@ def _run_tile(t, k, w, full_width=False):
         R=t.R, W=t.W, k=k, w=w, full_width=full_width)
 
 
-def build_device_index(part, k, w, *, ladder=TILE_LADDER,
-                       n_idx_sizes=N_IDX_SIZES, mid_occ_fixed=0,
-                       mid_occ_frac=2e-4):
-    """Build the sorted device index for one part. Returns a dict with
-    ih/irid/ips (canonical N_idx width), mid_occ (device scalar),
-    n_idx, n_tiles."""
-    tiles, jumbo = pack_part_tiles(part, w, ladder=ladder)
-    tiles = tiles + jumbo
-    results = [_run_tile(t, k, w) for t in tiles]
-
-    # one small sync per part: row/expansion overflow flags (rare; the
-    # affected tiles are re-run before anything is merged)
-    chunks = []
-    for t, (ih, irid, ips, _n, row_ov, exp_ov) in zip(tiles, results):
-        row_ov = np.asarray(row_ov)
-        if bool(np.asarray(exp_ov)) or row_ov[:len(t.used)].any():
-            sep = max(w - 1, 1)
-            bad_rows = set(np.nonzero(row_ov)[0].tolist())
-            keep, redo = [], []
-            for r in range(t.R):
-                gg = [g for g in t.gids[r] if g >= 0]
-                (redo if (r in bad_rows) else keep).extend(gg)
-            if bool(np.asarray(exp_ov)):
-                # expansion overflow: conservatively redo every read of
-                # this tile at full width (cannot attribute rows)
-                redo = keep + redo
-                keep = []
-            if keep:
-                b = _TileBuilder(t.R, t.W, sep)
-                for g in keep:
-                    b.add(g, part[g][1])
-                for t2 in b.tiles():
-                    r2 = _run_tile(t2, k, w)
-                    if bool(np.asarray(r2[5])) or \
-                            np.asarray(r2[4]).any():
-                        raise IndexOverflowError()
-                    chunks.append(list(r2[:3]))
-            for g in redo:
-                b = _TileBuilder(1, t.W, sep)
-                b.add(g, part[g][1])
-                for t2 in b.tiles():
-                    r2 = _run_tile(t2, k, w, full_width=True)
-                    if bool(np.asarray(r2[5])):
-                        raise IndexOverflowError()
-                    chunks.append(list(r2[:3]))
-        else:
-            chunks.append([ih, irid, ips])
-
-    # merge equal-sized chunks pairwise (merge-path); promote lone
-    # chunks upward by INF-padding (a padded chunk stays sorted)
+def _merge_chunks(chunks, n_idx_sizes):
+    """Merge equal-sized sorted chunks pairwise (merge-path); promote
+    lone chunks upward by INF-padding (a padded chunk stays sorted);
+    pad the survivor to the canonical index width."""
     by_size = {}
     for c in chunks:
         by_size.setdefault(c[0].shape[0], []).append(c)
@@ -451,18 +415,97 @@ def build_device_index(part, k, w, *, ladder=TILE_LADDER,
         raise ValueError("part exceeds the largest canonical index size")
     if n_real < n_idx:
         final = list(pad_to(*final, n_out=n_idx))
-    ih, irid, ips = final
+    return final, n_idx
 
+
+def _mid_occ(ih, mid_occ_fixed, mid_occ_frac):
     if mid_occ_fixed:
-        mo = jnp.asarray(np.int32(mid_occ_fixed))
-    else:
-        is_start, run_len, n_keys = index_runlens(ih)
-        n = int(n_keys)    # second small sync per part
-        if n == 0:
-            mo = jnp.asarray(np.int32(1))
-        else:
-            # bit-exact with the host spec: float64 product, truncate
-            kth = min(int((1.0 - mid_occ_frac) * n), n - 1)
-            mo = kth_runlen(is_start, run_len, np.int32(kth))
+        return jnp.asarray(np.int32(mid_occ_fixed))
+    is_start, run_len, n_keys = index_runlens(ih)
+    # n_keys == 0 (empty part): kth_of yields -1 and the value search
+    # returns 1, matching the host spec's empty-index mid_occ
+    kth = kth_of(n_keys, frac=mid_occ_frac)
+    return kth_runlen(is_start, run_len, kth)
+
+
+def _redo_tiles(part, tiles, ovf_np, k, w):
+    """Rebuild flat chunks for tiles whose rows overflowed (rare:
+    adversarial periodic reads). Overflowing rows re-run one read per
+    tile row at full width; clean rows repack normally."""
+    sep = max(w - 1, 1)
+    chunks = []
+    for t, (row_ov, exp_ov) in zip(tiles, ovf_np):
+        if not (exp_ov or row_ov[:len(t.used)].any()):
+            continue
+        bad_rows = set(np.nonzero(row_ov)[0].tolist())
+        keep, redo = [], []
+        for r in range(t.R):
+            gg = [g for g in t.gids[r] if g >= 0]
+            (redo if (r in bad_rows) else keep).extend(gg)
+        if exp_ov:
+            # expansion overflow: conservatively redo every read of
+            # this tile at full width (cannot attribute rows)
+            redo = keep + redo
+            keep = []
+        if keep:
+            b = _TileBuilder(t.R, t.W, sep)
+            for g in keep:
+                b.add(g, part[g][1])
+            for t2 in b.tiles():
+                r2 = _run_tile(t2, k, w)
+                if bool(np.asarray(r2[5])) or np.asarray(r2[4]).any():
+                    raise IndexOverflowError()
+                chunks.append(list(r2[:3]))
+        for g in redo:
+            b = _TileBuilder(1, t.W, sep)
+            b.add(g, part[g][1])
+            for t2 in b.tiles():
+                r2 = _run_tile(t2, k, w, full_width=True)
+                if bool(np.asarray(r2[5])):
+                    raise IndexOverflowError()
+                chunks.append(list(r2[:3]))
+    return chunks
+
+
+def build_device_index(part, k, w, *, ladder=TILE_LADDER,
+                       n_idx_sizes=N_IDX_SIZES, mid_occ_fixed=0,
+                       mid_occ_frac=2e-4):
+    """Build the sorted device index for one part. Returns a dict with
+    ih/irid/ips (canonical N_idx width), mid_occ (device scalar),
+    n_idx, n_tiles.
+
+    The whole chain — tiles, merge tree, canonical pad, mid_occ — is
+    dispatched optimistically before the overflow flags are pulled
+    (overflow requires adversarial periodic reads), so the build's one
+    host sync sits after every dispatch; on the tunneled backend a
+    pull can otherwise starve behind whatever compile is in flight.
+    On overflow the affected tiles re-run at full width and the merge
+    chain is re-dispatched."""
+    tiles, jumbo = pack_part_tiles(part, w, ladder=ladder)
+    tiles = tiles + jumbo
+    results = [_run_tile(t, k, w) for t in tiles]
+    chunks = [list(r[:3]) for r in results]
+    final, n_idx = _merge_chunks(chunks, n_idx_sizes)
+    mo = _mid_occ(final[0], mid_occ_fixed, mid_occ_frac)
+    for r in results:
+        for arr in (r[4], r[5]):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+
+    # one deferred sync per part: overflow flags
+    ovf_np = [(np.asarray(r[4]), bool(np.asarray(r[5])))
+              for r in results]
+    if any(ov or row[:len(t.used)].any()
+           for t, (row, ov) in zip(tiles, ovf_np)):
+        redone = _redo_tiles(part, tiles, ovf_np, k, w)
+        chunks = [list(r[:3])
+                  for t, r, (row, ov) in zip(tiles, results, ovf_np)
+                  if not (ov or row[:len(t.used)].any())] + redone
+        final, n_idx = _merge_chunks(chunks, n_idx_sizes)
+        mo = _mid_occ(final[0], mid_occ_fixed, mid_occ_frac)
+
+    ih, irid, ips = final
     return {"ih": ih, "irid": irid, "ips": ips, "mid_occ": mo,
             "n_idx": n_idx, "n_tiles": len(tiles)}

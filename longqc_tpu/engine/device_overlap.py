@@ -63,8 +63,12 @@ EOUT = 4 * CV          # max emitted interval events per call
 A_BUCKETS = (2048, 8192, 32768, 131072)
 # fixed anchor-capacity ladder for the canonical-shape path: one step
 # program at A_LADDER[0] covers nearly every row; rows flagged F_ANCH
-# retry at the next rung (one extra dispatch) before host fallback
-A_LADDER = (32768, 131072)
+# retry at the next rung (one extra dispatch) before host fallback.
+# The ladder deliberately stops at 65536: the step program's XLA
+# compile cost explodes superlinearly past that (A=131072 ran >30 min
+# on this backend vs 21 s at A=32768), and an orphaned pathological
+# compile starves every later device->host pull on the tunnel
+A_LADDER = (32768, 65536)
 # canonical per-part read-count paddings (rid-indexed arrays in the
 # step program); rid packs into 24 bits
 B_PADS = (8192, 1 << 17, 1 << 21, 1 << 24)
@@ -534,8 +538,13 @@ def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
     avgk_new = jnp.where(bad, avgk_set, avgk_new)
     mc = jnp.where(bad[:, None], m_cnts, mc)
     ev_n = jnp.where(bad | ~proc, 0, jnp.minimum(ev_n, EOUT))
-    return (lam_new, lam2_new, avgk_new, mc, new_flags,
-            events, ev_n.astype(jnp.int32))
+    # single packed pull target: [flags | ev_n | events] — the tunnel's
+    # d2h stalls are per-transfer, so each (part x group) call exposes
+    # exactly one host pull
+    packed = jnp.concatenate(
+        [new_flags[:, None], ev_n.astype(jnp.int32)[:, None], events],
+        axis=1)
+    return (lam_new, lam2_new, avgk_new, mc, packed)
 
 
 _step = functools.partial(jax.jit, static_argnames=("st",),
@@ -560,7 +569,7 @@ def _sharded_step(mesh, st: StepStatic):
                 lane2, lane2, lane2, lane2, lane1,     # qh..n_exp
                 lane1, lane1, lane1, lane1,            # qlen..qvalid
                 lane1, lane1, lane1, lane2, rep)       # state + limbs
-    out_specs = (lane1, lane1, lane1, lane2, lane1, lane2, lane1)
+    out_specs = (lane1, lane1, lane1, lane2, lane2)
     fn = shard_map(functools.partial(_step_impl, st=st), mesh=mesh,
                    in_specs=in_specs, out_specs=out_specs,
                    check_rep=False)
@@ -591,6 +600,18 @@ def _apply_fix(lam, lam2, avgk_set, m_cnts, mask,
             jnp.where(mb[:, None], m_fix, m_cnts))
 
 
+@functools.partial(jax.jit, static_argnames=("M", "M2", "n_real"))
+def _group_valid(n_slots, n_exp, *, M, M2, n_real):
+    """Device-side row validity: rows whose sketch compaction or
+    expansion overflowed are invalid (host-processed); padding lanes
+    are invalid. Avoids any host pull during engine construction (the
+    tunneled backend starves pulls behind in-flight compiles)."""
+    lane = jnp.arange(n_slots.shape[0], dtype=jnp.int32)
+    ovf = (n_slots > M) | (n_exp > M2)
+    valid = (~ovf) & (lane < n_real)
+    return valid.astype(jnp.int32), (ovf & (lane < n_real))
+
+
 @functools.partial(jax.jit, static_argnames=("M",))
 def _compact_sketch(emit, hsh, pos, strand, *, M):
     """Per-row compaction of the sketch kernel's (B, L) output into the
@@ -618,17 +639,143 @@ def _compact_sketch(emit, hsh, pos, strand, *, M):
     return qh, qpos, qstrand, qcnt, n
 
 
+def _make_static(cfg, lanes, M, M2, A, k, interpret):
+    m = cfg.map
+    f = cfg.flt
+    p_hi, p_lo, p_s = _ratio_limbs(f.min_ratio)
+    return StepStatic(
+        Q=lanes, M=M, M2=M2, A=A, k=k,
+        max_gap=m.max_gap, bw=m.bw, max_skip=m.max_chain_skip,
+        min_cnt=m.min_cnt, min_sc=m.min_chain_score,
+        min_sc_m=m.min_score_med, min_sc_g=m.min_score_good,
+        max_overhang=f.max_overhang, min_cov=f.min_coverage,
+        covt=cfg.covt, ava=cfg.ava,
+        p_hi=p_hi, p_lo=p_lo, p_s=p_s, interpret=interpret)
+
+
+def precompile(cfg, blens, lanes=GROUP_Q, b_pads=None, a_rungs=None,
+               geometry="big", n_idx=None, max_workers=8,
+               background=False):
+    """AOT-compile every canonical program of the device engine for the
+    given config and query length buckets, feeding the remote compiler
+    concurrently (it parallelizes ~3.5x). With the persistent
+    compilation cache on, the engine's later jit calls hit the disk
+    cache instead of recompiling, so a cold start costs one concurrent
+    sweep instead of a serial compile per first call.
+
+    blens: query length buckets (_len_bucket values) to cover.
+    b_pads: canonical per-part read paddings (default: smallest).
+    a_rungs: anchor-capacity rungs (default: full A_LADDER).
+    background: run on a daemon thread and return it immediately.
+    """
+    from longqc_tpu.ops.sketch import sketch_batch
+    from longqc_tpu.parallel.warm import compile_concurrently
+
+    if b_pads is None:
+        b_pads = B_PADS[:1]
+    if a_rungs is None:
+        a_rungs = A_LADDER
+    if geometry == "big":
+        ladder, n_idx_sizes = di.TILE_LADDER, di.N_IDX_SIZES
+    else:
+        ladder, n_idx_sizes = di.TILE_LADDER_SMALL, di.N_IDX_SIZES_SMALL
+    if n_idx is None:
+        n_idx = n_idx_sizes[0]
+    k, w = cfg.index.k, cfg.index.w
+
+    i32, u32 = jnp.int32, jnp.uint32
+
+    def sds(shape, dtype=i32):
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+    def lowered():
+        out = []
+        # --- step programs first: they gate the first part's results
+        for blen in blens:
+            M, M2 = blen // 2, blen
+            for A in a_rungs:
+                st = _make_static(cfg, lanes, M, M2, A, k, False)
+                for Bp in b_pads:
+                    out.append((
+                        "step(blen=%d,A=%d,Bp=%d)" % (blen, A, Bp),
+                        _step.lower(
+                            sds((n_idx,)), sds((n_idx,)), sds((n_idx,)),
+                            sds((Bp,)), sds((Bp,)), sds((), i32),
+                            sds((lanes, M)), sds((lanes, M)),
+                            sds((lanes, M)), sds((lanes, M2)),
+                            sds((lanes,)), sds((lanes,)), sds((lanes,)),
+                            sds((lanes,)), sds((lanes,)),
+                            sds((lanes,), jnp.int64),
+                            sds((lanes,), jnp.int64), sds((lanes,)),
+                            sds((lanes, M2)), sds((5,)), st=st)))
+        # --- index build chain
+        for (R, W) in ladder:
+            out.append((
+                "tile_flat(%d,%d)" % (R, W),
+                di.tile_flat.lower(
+                    sds((R, W // 16), u32), sds((R, W // 32), u32),
+                    sds((R, W // 32), u32), sds((R, di.READS_PER_ROW)),
+                    sds((R, di.READS_PER_ROW)), sds((R,)),
+                    R=R, W=W, k=k, w=w)))
+        T = ladder[0][0] * ladder[0][1] // 2
+        n = T
+        while n < n_idx:
+            out.append(("merge(%d)" % n,
+                        di.merge_sorted.lower(*([sds((n,))] * 6), n=n)))
+            if 2 * n < n_idx:
+                out.append(("pad(%d->%d)" % (n, 2 * n),
+                            di.pad_to.lower(*([sds((n,))] * 3),
+                                            n_out=2 * n)))
+            out.append(("pad(%d->%d)" % (n, n_idx),
+                        di.pad_to.lower(*([sds((n,))] * 3), n_out=n_idx)))
+            n *= 2
+        out.append(("runlens(%d)" % n_idx,
+                    di.index_runlens.lower(sds((n_idx,)))))
+        out.append(("kth_runlen(%d)" % n_idx,
+                    di.kth_runlen.lower(sds((n_idx,), jnp.bool_),
+                                        sds((n_idx,)), sds((), i32))))
+        # --- query group programs
+        for blen in blens:
+            M, M2 = blen // 2, blen
+            out.append(("sketch(%d)" % blen,
+                        sketch_batch.lower(sds((lanes, blen), jnp.uint8),
+                                           sds((lanes,)), w=w, k=k)))
+            out.append(("compact(%d)" % blen,
+                        _compact_sketch.lower(
+                            sds((lanes, blen)), sds((lanes, blen), u32),
+                            sds((lanes, blen)), sds((lanes, blen)),
+                            M=M)))
+            out.append(("expand(%d)" % blen,
+                        _group_expand.lower(sds((lanes, M)),
+                                            sds((lanes,)), M2=M2)))
+            out.append(("finalize(%d)" % blen,
+                        _finalize_group.lower(
+                            sds((lanes,), jnp.int64),
+                            sds((lanes,), jnp.int64),
+                            sds((lanes, M2)), sds((lanes,)))))
+        return out
+
+    def run():
+        try:
+            compile_concurrently(lowered(), max_workers=max_workers,
+                                 tag="engine precompile")
+        except Exception as e:
+            logger.warning("precompile failed: %r", e)
+
+    if background:
+        import threading
+        th = threading.Thread(target=run, daemon=True,
+                              name="longqc-precompile")
+        th.start()
+        return th
+    run()
+    return None
+
+
 def _len_bucket(n):
     b = 4096
     while b < n:
         b *= 4
-    return b
-
-
-def _pow2_at_least(n, lo):
-    b = lo
-    while b < n:
-        b *= 2
     return b
 
 
@@ -658,21 +805,29 @@ class _Group:
         self.qlen = jnp.asarray(
             np.array([len(reads[i][1]) for i in qids]
                      + [0] * (lanes - len(qids)), np.int32))
-        # rows whose compaction or expansion overflowed (adversarial
-        # periodic reads) are permanently host-processed
-        n_np = np.asarray(self.n_slots)[:len(qids)]
-        exp_np = np.asarray(self.n_exp)[:len(qids)]
-        self.perm_host = np.zeros(lanes, bool)
-        self.perm_host[:len(qids)] = (n_np > self.M) | (exp_np > self.M2)
-        qv = np.zeros(lanes, np.int32)
-        qv[:len(qids)] = np.where(self.perm_host[:len(qids)], 0, 1)
-        self.qvalid = jnp.asarray(qv)
+        # validity computed on device — engine construction performs NO
+        # host pull (the tunnel starves pulls behind in-flight compiles)
+        self.qvalid, self._ovf_dev = _group_valid(
+            self.n_slots, self.n_exp, M=self.M, M2=self.M2,
+            n_real=len(qids))
+        _async_pull(self._ovf_dev)
+        self._perm_host = None
         # state
         self.lam = jnp.zeros((lanes,), jnp.int64)
         self.lam2 = jnp.zeros((lanes,), jnp.int64)
         self.avgk_set = jnp.zeros((lanes,), jnp.int32)
         self.m_cnts = jnp.zeros((lanes, self.M2), jnp.int32)
         self._host_sketch = None
+
+    @property
+    def perm_host(self):
+        """(lanes,) bool: rows permanently host-processed (sketch
+        compaction/expansion overflow — adversarial periodic reads).
+        Resolved lazily on first host access, which happens after the
+        first step results return (pulls are safe by then)."""
+        if self._perm_host is None:
+            self._perm_host = np.asarray(self._ovf_dev)
+        return self._perm_host
 
     def host_sketch_lists(self, k, w, reads):
         """Per-lane (hash, pos, strand, span) expanded lists for the
@@ -784,6 +939,11 @@ class DeviceOverlapEngine:
         if cfg.index.is_hpc:
             raise NotImplementedError(
                 "HPC sketch (pb-hifi / --filter) uses the host path")
+        if 2 * cfg.index.k > 30:
+            # the device index and group sketch carry hashes in int32
+            # lanes (ops/sketch u32 fast path); k > 15 would truncate
+            raise NotImplementedError(
+                "device engine requires 2k <= 30 (u32 minimizer hash)")
         self.cfg = cfg
         self.k, self.w = cfg.index.k, cfg.index.w
         limbs = penalty_limbs(float(np.float32(self.k)), cfg.map.bw)
@@ -814,20 +974,26 @@ class DeviceOverlapEngine:
         by_bucket = {}
         for i, r in enumerate(query_reads):
             by_bucket.setdefault(_len_bucket(len(r[1])), []).append(i)
+        if on_tpu and not interpret and mesh is None:
+            # absorb the backend's first-pull stall on a side thread and
+            # feed the remote compiler every canonical program at once
+            # (it parallelizes ~3.5x) while groups stage below
+            from longqc_tpu.parallel.warm import start_warm_pull
+            start_warm_pull()
+            precompile(self.cfg, sorted(by_bucket), lanes=self.lanes,
+                       a_rungs=self.a_ladder[:1], geometry=geometry,
+                       background=True)
         for blen, idxs in sorted(by_bucket.items()):
             for off in range(0, len(idxs), self.lanes):
                 self.groups.append(_Group(idxs[off:off + self.lanes],
                                           query_reads, self.k, self.w,
                                           interpret, lanes=self.lanes))
         self.events = [[] for _ in query_reads]   # flat tagged endpoints
-        # persistent host ReadStates for permanently host-processed rows
+        # persistent host ReadStates for permanently host-processed
+        # rows; populated lazily per group (first host access) so the
+        # constructor performs no device->host pull
         self.host_state = {}
-        for g in self.groups:
-            for r, qi in enumerate(g.qids):
-                if g.perm_host[r]:
-                    sk = g.host_sketch_lists(self.k, self.w,
-                                             self.queries)[r]
-                    self.host_state[qi] = oh.ReadState(len(sk[0]))
+        self._host_state_done = set()
         self.n_host_fallback = 0
         self.n_device_calls = 0
         self.n_retry_steps = 0
@@ -835,17 +1001,8 @@ class DeviceOverlapEngine:
         self.flag_counts = defaultdict(int)
 
     def _static(self, g, A):
-        m = self.cfg.map
-        f = self.cfg.flt
-        p_hi, p_lo, p_s = _ratio_limbs(f.min_ratio)
-        return StepStatic(
-            Q=self.lanes, M=g.M, M2=g.M2, A=A, k=self.k,
-            max_gap=m.max_gap, bw=m.bw, max_skip=m.max_chain_skip,
-            min_cnt=m.min_cnt, min_sc=m.min_chain_score,
-            min_sc_m=m.min_score_med, min_sc_g=m.min_score_good,
-            max_overhang=f.max_overhang, min_cov=f.min_coverage,
-            covt=self.cfg.covt, ava=self.cfg.ava,
-            p_hi=p_hi, p_lo=p_lo, p_s=p_s, interpret=self.interpret)
+        return _make_static(self.cfg, self.lanes, g.M, g.M2, A, self.k,
+                            self.interpret)
 
     def run(self, target_iter, progress=None, parts=None):
         """Pipelined part loop (the kt_pipeline role, kthread.c:129-158):
@@ -888,34 +1045,30 @@ class DeviceOverlapEngine:
             step_fn = _sharded_step(self.mesh, st)
         else:
             step_fn = functools.partial(_step, st=st)
-        (g.lam, g.lam2, g.avgk_set, g.m_cnts, flags, events,
-         ev_n) = step_fn(
+        (g.lam, g.lam2, g.avgk_set, g.m_cnts, packed) = step_fn(
             pidx.ih, pidx.irid, pidx.ips, pidx.seq_lens,
             pidx.rid_rank, pidx.mid_occ,
             g.qh, g.qpos, g.qstrand, g.e_src, g.n_exp,
             g.qlen, qrank_d, qbisect_d, qvalid,
             g.lam, g.lam2, g.avgk_set, g.m_cnts, self.limbs5)
         self.n_device_calls += 1
-        return flags, events, ev_n
+        return packed
 
-    def _commit_rows(self, g, want, flags_np, events, ev_n_np, progress):
-        """Pull and record interval events for rows of `want` that came
-        back clean; return the rows that still need work."""
-        t0 = time.time()
-        good = [r for r in want
-                if not flags_np[r] and not g.perm_host[r]]
-        w = int(ev_n_np[good].max()) if good else 0
-        if w > 0:
-            w = _pow2_at_least(w, 64)
-            ev_np = np.asarray(events[:, :w])
-        for r in good:
+    def _commit_rows(self, g, want, packed_np, progress):
+        """Record interval events for rows of `want` that came back
+        clean; return the rows that still need work."""
+        flags_np = packed_np[:, 0]
+        ev_n_np = packed_np[:, 1]
+        for r in want:
+            if flags_np[r] or g.perm_host[r]:
+                continue
             qi = g.qids[r]
             n = int(ev_n_np[r])
             if n:
-                self.events[qi].extend(int(x) for x in ev_np[r, :n])
+                self.events[qi].extend(
+                    int(x) for x in packed_np[r, 2:2 + n])
             if progress:
                 progress(qi)
-        self.phase_s["pull"] += time.time() - t0
         return [r for r in want if flags_np[r] or g.perm_host[r]]
 
     def _run_part(self, pidx, progress):
@@ -943,20 +1096,20 @@ class DeviceOverlapEngine:
                     qbisect[r] = bisect_left(pidx.sorted_names, qname)
             qrank_d = jnp.asarray(qrank)
             qbisect_d = jnp.asarray(qbisect)
-            flags, events, ev_n = self._step_group(
+            packed = self._step_group(
                 g, pidx, qrank_d, qbisect_d, g.qvalid, self.a_ladder[0])
-            pend.append([g, qrank_d, qbisect_d, flags, events, ev_n])
+            pend.append([g, qrank_d, qbisect_d, packed])
         for p in pend:   # overlap the transfers with remaining compute
             _async_pull(p[3])
-            _async_pull(p[5])
         self.phase_s["step"] += time.time() - t0
 
-        for g, qrank_d, qbisect_d, flags, events, ev_n in pend:
-            flags_np = np.array(flags)    # writable: retries patch rows
-            ev_n_np = np.array(ev_n)
+        for g, qrank_d, qbisect_d, packed in pend:
+            t0 = time.time()
+            packed_np = np.array(packed)   # writable: retries patch rows
+            self.phase_s["pull"] += time.time() - t0
             want = list(range(len(g.qids)))
-            bad = self._commit_rows(g, want, flags_np, events, ev_n_np,
-                                    progress)
+            bad = self._commit_rows(g, want, packed_np, progress)
+            flags_np = packed_np[:, 0]
             for rung in range(1, len(self.a_ladder)):
                 retry = [r for r in bad
                          if (flags_np[r] & F_ANCH) and not g.perm_host[r]]
@@ -965,18 +1118,15 @@ class DeviceOverlapEngine:
                 t0 = time.time()
                 qv = np.zeros(self.lanes, np.int32)
                 qv[retry] = 1
-                flags2, events2, ev_n2 = self._step_group(
+                packed2 = self._step_group(
                     g, pidx, qrank_d, qbisect_d, jnp.asarray(qv),
                     self.a_ladder[rung])
                 self.n_retry_steps += 1
-                f2 = np.asarray(flags2)
-                e2 = np.asarray(ev_n2)
+                p2 = np.asarray(packed2)
                 for r in retry:
-                    flags_np[r] = f2[r]
-                    ev_n_np[r] = e2[r]
+                    packed_np[r] = p2[r]
                 self.phase_s["step"] += time.time() - t0
-                bad2 = self._commit_rows(g, retry, flags_np, events2,
-                                         ev_n_np, progress)
+                bad2 = self._commit_rows(g, retry, packed_np, progress)
                 bad = [r for r in bad if r not in retry] + bad2
             for r in bad:
                 if flags_np[r]:
@@ -986,9 +1136,21 @@ class DeviceOverlapEngine:
                 self._host_fix(g, pidx, bad, progress)
                 self.phase_s["host_fix"] += time.time() - t0
 
+    def _ensure_host_state(self, g):
+        """Create persistent host ReadStates for this group's
+        permanently host-processed rows (lazy: first host access)."""
+        if id(g) in self._host_state_done:
+            return
+        self._host_state_done.add(id(g))
+        for r, qi in enumerate(g.qids):
+            if g.perm_host[r]:
+                sk = g.host_sketch_lists(self.k, self.w, self.queries)[r]
+                self.host_state[qi] = oh.ReadState(len(sk[0]))
+
     def _host_fix(self, g, pidx, rows, progress):
         """Exact host recompute of this part's update for flagged rows
         (their device state was left untouched by _step)."""
+        self._ensure_host_state(g)
         cfg = self.cfg
         m = cfg.map
         hidx = pidx.host_index()
@@ -1056,9 +1218,16 @@ class DeviceOverlapEngine:
     def _finalize(self):
         cfg = self.cfg
         rows = [None] * len(self.queries)
+        # dispatch every group's reduction before the first pull so the
+        # transfers overlap (and only the first pull eats any latency)
+        outs = []
         for g in self.groups:
-            lam, lam2, n_match, _ssum = _finalize_group(
-                g.lam, g.lam2, g.m_cnts, g.n_exp)
+            out = _finalize_group(g.lam, g.lam2, g.m_cnts, g.n_exp)
+            for a in out[:3]:
+                _async_pull(a)
+            outs.append(out)
+        for g, (lam, lam2, n_match, _ssum) in zip(self.groups, outs):
+            self._ensure_host_state(g)
             lam = np.asarray(lam)
             lam2 = np.asarray(lam2)
             n_match = np.asarray(n_match)

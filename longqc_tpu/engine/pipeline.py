@@ -77,6 +77,13 @@ def run_sampleqc(input_path, out_dir, preset_name, *, nsample=5000,
     if os.path.exists(out_dir):
         raise FileExistsError("output path %s already exists" % out_dir)
 
+    import jax as _jax
+    if _jax.default_backend() == "tpu":
+        # absorb the tunneled backend's first device->host pull stall
+        # on a side thread before the chunk-QC stages start pulling
+        from longqc_tpu.parallel.warm import start_warm_pull
+        start_warm_pull()
+
     preset = C.PRESETS[preset_name]
     if force_pb or force_sequel:
         # reference semantics: the preset table only SETS these markers
