@@ -48,10 +48,14 @@ from longqc_tpu.ops.sketch import _sketch_core
 TILE_LADDER = ((256, 8192), (32, 65536), (4, 524288))
 JUMBO_W = 1 << 22          # single-row tiles for ultra-long reads
 READS_PER_ROW = 64
-# one canonical index width on the production geometry: every part pads
-# to it, so exactly ONE step program exists per (M, A) — compile time
-# rules on this backend and the pad is a sub-ms copy into HBM
-N_IDX_SIZES = (1 << 24,)
+# canonical index widths on the production geometry: every part pads to
+# the smallest fitting width, so at most one step program exists per
+# (M, A, N) — compile time rules on this backend and the pad is a
+# sub-ms copy into HBM. Two rungs: 2M slots covers parts to ~6 Mbp of
+# target sequence (the 5000-read sample class); 16M to ~48 Mbp. The
+# 16M-sized programs are compile-expensive on the attached backend and
+# only ever compile lazily for oversized parts.
+N_IDX_SIZES = (1 << 21, 1 << 24)
 
 # small-geometry ladder for tests / tiny workloads (same code paths,
 # cheap compiles on the CPU backend)
@@ -362,14 +366,19 @@ def kth_runlen(is_start, run_len, kth, max_occ_bits=21):
     sort of the counts (mm_idx_cal_max_occ quantile, index.c:123-144).
     kth comes from kth_of (device) or the host equivalent
     (int((1.0 - frac) * n): float64 round-to-nearest then truncate)."""
-    lo = jnp.int32(0)
-    hi = jnp.int32(1 << max_occ_bits)
-    for _ in range(max_occ_bits + 1):
+    def body(_i, lohi):
+        lo, hi = lohi
         mid = (lo + hi) >> 1
         cnt = jnp.sum(is_start & (run_len <= mid)).astype(jnp.int32)
         ok = cnt >= kth + 1
-        hi = jnp.where(ok, mid, hi)
-        lo = jnp.where(ok, lo, mid + 1)
+        return (jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi))
+
+    # fori_loop (not an unrolled python loop): the unrolled graph held
+    # max_occ_bits+1 full-array reductions and its XLA compile wedged
+    # the backend at the 16M width
+    lo, hi = jax.lax.fori_loop(
+        np.int32(0), np.int32(max_occ_bits + 1), body,
+        (jnp.int32(0), jnp.int32(1 << max_occ_bits)))
     return hi + 1
 
 
@@ -412,7 +421,12 @@ def _merge_chunks(chunks, n_idx_sizes):
     n_real = final[0].shape[0]
     n_idx = next((s for s in n_idx_sizes if n_real <= s), None)
     if n_idx is None:
-        raise ValueError("part exceeds the largest canonical index size")
+        # part larger than the canonical index width (~48 Mbp of target
+        # sequence at the production geometry): the caller falls back
+        # to the exact host index for this part (see ROADMAP capacity
+        # note; reference parts are bounded by -I, longQC.py:222-231)
+        raise IndexOverflowError(
+            "part exceeds the largest canonical index size")
     if n_real < n_idx:
         final = list(pad_to(*final, n_out=n_idx))
     return final, n_idx

@@ -653,23 +653,11 @@ def _make_static(cfg, lanes, M, M2, A, k, interpret):
         p_hi=p_hi, p_lo=p_lo, p_s=p_s, interpret=interpret)
 
 
-def precompile(cfg, blens, lanes=GROUP_Q, b_pads=None, a_rungs=None,
-               geometry="big", n_idx=None, max_workers=8,
-               background=False):
-    """AOT-compile every canonical program of the device engine for the
-    given config and query length buckets, feeding the remote compiler
-    concurrently (it parallelizes ~3.5x). With the persistent
-    compilation cache on, the engine's later jit calls hit the disk
-    cache instead of recompiling, so a cold start costs one concurrent
-    sweep instead of a serial compile per first call.
-
-    blens: query length buckets (_len_bucket values) to cover.
-    b_pads: canonical per-part read paddings (default: smallest).
-    a_rungs: anchor-capacity rungs (default: full A_LADDER).
-    background: run on a daemon thread and return it immediately.
-    """
+def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
+                       a_rungs=None, geometry="big", n_idx=None):
+    """Build the [(name, lowered)] list of every canonical program the
+    device engine needs for this config/buckets (see precompile)."""
     from longqc_tpu.ops.sketch import sketch_batch
-    from longqc_tpu.parallel.warm import compile_concurrently
 
     if b_pads is None:
         b_pads = B_PADS[:1]
@@ -688,77 +676,102 @@ def precompile(cfg, blens, lanes=GROUP_Q, b_pads=None, a_rungs=None,
     def sds(shape, dtype=i32):
         return jax.ShapeDtypeStruct(shape, dtype)
 
-    def lowered():
-        out = []
-        # --- step programs first: they gate the first part's results
-        for blen in blens:
-            M, M2 = blen // 2, blen
-            for A in a_rungs:
-                st = _make_static(cfg, lanes, M, M2, A, k, False)
-                for Bp in b_pads:
-                    out.append((
-                        "step(blen=%d,A=%d,Bp=%d)" % (blen, A, Bp),
-                        _step.lower(
-                            sds((n_idx,)), sds((n_idx,)), sds((n_idx,)),
-                            sds((Bp,)), sds((Bp,)), sds((), i32),
-                            sds((lanes, M)), sds((lanes, M)),
-                            sds((lanes, M)), sds((lanes, M2)),
-                            sds((lanes,)), sds((lanes,)), sds((lanes,)),
-                            sds((lanes,)), sds((lanes,)),
-                            sds((lanes,), jnp.int64),
-                            sds((lanes,), jnp.int64), sds((lanes,)),
-                            sds((lanes, M2)), sds((5,)), st=st)))
-        # --- index build chain
-        for (R, W) in ladder:
-            out.append((
-                "tile_flat(%d,%d)" % (R, W),
-                di.tile_flat.lower(
-                    sds((R, W // 16), u32), sds((R, W // 32), u32),
-                    sds((R, W // 32), u32), sds((R, di.READS_PER_ROW)),
-                    sds((R, di.READS_PER_ROW)), sds((R,)),
-                    R=R, W=W, k=k, w=w)))
-        T = ladder[0][0] * ladder[0][1] // 2
-        n = T
-        while n < n_idx:
-            out.append(("merge(%d)" % n,
-                        di.merge_sorted.lower(*([sds((n,))] * 6), n=n)))
-            if 2 * n < n_idx:
-                out.append(("pad(%d->%d)" % (n, 2 * n),
-                            di.pad_to.lower(*([sds((n,))] * 3),
-                                            n_out=2 * n)))
-            out.append(("pad(%d->%d)" % (n, n_idx),
-                        di.pad_to.lower(*([sds((n,))] * 3), n_out=n_idx)))
-            n *= 2
-        out.append(("runlens(%d)" % n_idx,
-                    di.index_runlens.lower(sds((n_idx,)))))
-        out.append(("kth_runlen(%d)" % n_idx,
-                    di.kth_runlen.lower(sds((n_idx,), jnp.bool_),
-                                        sds((n_idx,)), sds((), i32))))
-        # --- query group programs
-        for blen in blens:
-            M, M2 = blen // 2, blen
-            out.append(("sketch(%d)" % blen,
-                        sketch_batch.lower(sds((lanes, blen), jnp.uint8),
-                                           sds((lanes,)), w=w, k=k)))
-            out.append(("compact(%d)" % blen,
-                        _compact_sketch.lower(
-                            sds((lanes, blen)), sds((lanes, blen), u32),
-                            sds((lanes, blen)), sds((lanes, blen)),
-                            M=M)))
-            out.append(("expand(%d)" % blen,
-                        _group_expand.lower(sds((lanes, M)),
-                                            sds((lanes,)), M2=M2)))
-            out.append(("finalize(%d)" % blen,
-                        _finalize_group.lower(
-                            sds((lanes,), jnp.int64),
-                            sds((lanes,), jnp.int64),
-                            sds((lanes, M2)), sds((lanes,)))))
-        return out
+    out = []
+    # --- step programs first: they gate the first part's results
+    for blen in blens:
+        M, M2 = blen // 2, blen
+        for A in a_rungs:
+            st = _make_static(cfg, lanes, M, M2, A, k, False)
+            for Bp in b_pads:
+                out.append((
+                    "step(blen=%d,A=%d,Bp=%d)" % (blen, A, Bp),
+                    _step.lower(
+                        sds((n_idx,)), sds((n_idx,)), sds((n_idx,)),
+                        sds((Bp,)), sds((Bp,)), sds((), i32),
+                        sds((lanes, M)), sds((lanes, M)),
+                        sds((lanes, M)), sds((lanes, M2)),
+                        sds((lanes,)), sds((lanes,)), sds((lanes,)),
+                        sds((lanes,)), sds((lanes,)),
+                        sds((lanes,), jnp.int64),
+                        sds((lanes,), jnp.int64), sds((lanes,)),
+                        sds((lanes, M2)), sds((5,)), st=st)))
+    # --- index build chain
+    for (R, W) in ladder:
+        out.append((
+            "tile_flat(%d,%d)" % (R, W),
+            di.tile_flat.lower(
+                sds((R, W // 16), u32), sds((R, W // 32), u32),
+                sds((R, W // 32), u32), sds((R, di.READS_PER_ROW)),
+                sds((R, di.READS_PER_ROW)), sds((R,)),
+                R=R, W=W, k=k, w=w)))
+    # only the first merge level (a <= 2-chunk part needs nothing
+    # more); deeper levels compile lazily. Every program in this
+    # list must be individually vetted for compile cost on the
+    # backend, because one pathological compile starves every
+    # device->host pull behind it (merge at >= 4M slots and the
+    # step at A=131072 are known-pathological)
+    T = ladder[0][0] * ladder[0][1] // 2
+    if T < n_idx:
+        out.append(("merge(%d)" % T,
+                    di.merge_sorted.lower(*([sds((T,))] * 6), n=T)))
+        out.append(("pad(%d->%d)" % (T, n_idx),
+                    di.pad_to.lower(*([sds((T,))] * 3),
+                                    n_out=n_idx)))
+        if 2 * T < n_idx:
+            out.append(("pad(%d->%d)" % (2 * T, n_idx),
+                        di.pad_to.lower(*([sds((2 * T,))] * 3),
+                                        n_out=n_idx)))
+    out.append(("runlens(%d)" % n_idx,
+                di.index_runlens.lower(sds((n_idx,)))))
+    out.append(("kth_runlen(%d)" % n_idx,
+                di.kth_runlen.lower(sds((n_idx,), jnp.bool_),
+                                    sds((n_idx,)), sds((), i32))))
+    # --- query group programs
+    for blen in blens:
+        M, M2 = blen // 2, blen
+        out.append(("sketch(%d)" % blen,
+                    sketch_batch.lower(sds((lanes, blen), jnp.uint8),
+                                       sds((lanes,)), w=w, k=k)))
+        out.append(("compact(%d)" % blen,
+                    _compact_sketch.lower(
+                        sds((lanes, blen)), sds((lanes, blen), u32),
+                        sds((lanes, blen)), sds((lanes, blen)),
+                        M=M)))
+        out.append(("expand(%d)" % blen,
+                    _group_expand.lower(sds((lanes, M)),
+                                        sds((lanes,)), M2=M2)))
+        out.append(("finalize(%d)" % blen,
+                    _finalize_group.lower(
+                        sds((lanes,), jnp.int64),
+                        sds((lanes,), jnp.int64),
+                        sds((lanes, M2)), sds((lanes,)))))
+    return out
+
+
+def precompile(cfg, blens, lanes=GROUP_Q, b_pads=None, a_rungs=None,
+               geometry="big", n_idx=None, max_workers=8,
+               background=False):
+    """AOT-compile every canonical program of the device engine for the
+    given config and query length buckets, feeding the remote compiler
+    concurrently (it parallelizes ~3.5x). With the persistent
+    compilation cache on, the engine's later jit calls hit the disk
+    cache instead of recompiling, so a cold start costs one concurrent
+    sweep instead of a serial compile per first call.
+
+    blens: query length buckets (_len_bucket values) to cover.
+    b_pads: canonical per-part read paddings (default: smallest).
+    a_rungs: anchor-capacity rungs (default: full A_LADDER).
+    background: run on a daemon thread and return it immediately.
+    """
+    from longqc_tpu.parallel.warm import compile_concurrently
 
     def run():
         try:
-            compile_concurrently(lowered(), max_workers=max_workers,
-                                 tag="engine precompile")
+            compile_concurrently(
+                precompile_lowered(cfg, blens, lanes=lanes,
+                                   b_pads=b_pads, a_rungs=a_rungs,
+                                   geometry=geometry, n_idx=n_idx),
+                max_workers=max_workers, tag="engine precompile")
         except Exception as e:
             logger.warning("precompile failed: %r", e)
 

@@ -13,6 +13,11 @@ import numpy as np
 
 
 def main():
+    if os.environ.get("PROBE_STACK_DUMPS"):
+        import faulthandler
+        faulthandler.dump_traceback_later(
+            int(os.environ["PROBE_STACK_DUMPS"]), repeat=True,
+            file=sys.stderr)
     n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     n_query = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     from util_synth import make_genome, sample_reads
