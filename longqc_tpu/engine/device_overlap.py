@@ -266,20 +266,16 @@ def _geom_ok(a, total, st: StepStatic):
     return ok, jnp.ones_like(ok)
 
 
-def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
-               qh, qpos, qstrand, e_src, n_exp, qlen, qrank, qbisect,
-               qvalid, lam, lam2, avgk_set, m_cnts, limbs5,
-               st: StepStatic):
-    """One (part x query-group) update. Returns committed state, interval
-    events (Q, EOUT) + counts, and per-row flags for this call.
-
-    Q is taken from the runtime shape (not st.Q) so the same body serves
-    both the single-device jit and the shard_map lane-sharded wrapper
-    (parallel/mesh.overlap P8 scaling: index replicated, lanes sharded).
-    """
+def _collect_anchors(ih, irid, ips, rid_rank, mid_occ,
+                     qh, qpos, qstrand, e_src, qlen, qrank, qbisect,
+                     st: StepStatic, qspan=None):
+    """Seed lookup, kept-minimizer list and sorted anchor expansion
+    (lqmap.c:140-205). qspan: per-slot query minimizer spans (HPC mode;
+    None = constant-span plain mode, span == k). Returns
+    (key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept, kept_ssum,
+    anch_ssum); span_s/kept_ssum/anch_ssum are None in plain mode."""
     Q = qh.shape[0]
     M, M2, A = st.M, st.M2, st.A
-    rows = jax.lax.broadcasted_iota(jnp.int32, (Q, A), 0)
     k32 = jnp.int32(st.k)
 
     # --- seed lookup & kept-minimizer list (lqmap.c:140-205)
@@ -305,6 +301,12 @@ def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
     mp_pos = jnp.where(
         jnp.arange(M2, dtype=jnp.int32)[None, :] < n_kept[:, None],
         mp_pos, INF32)
+    span_e = kept_ssum = None
+    if qspan is not None:
+        span_e = jnp.take_along_axis(
+            jnp.concatenate([qspan, pad1], axis=1), e_src, axis=1)
+        kept_ssum = jnp.sum(jnp.where(kept, span_e, 0),
+                            axis=1).astype(jnp.int32)
 
     # --- weighted anchor expansion
     ce = jnp.cumsum(jnp.where(kept, occ_e, 0), axis=1)
@@ -338,19 +340,43 @@ def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
     live = valid_a & ~drop
     key1 = jnp.where(live, (rev << 24) | rid_a, INF32)
     key2 = jnp.where(live, rpos, INF32)
-    yq = jnp.where(fwd, qpos_a,
-                   qlen[:, None] - (qpos_a + 1 - k32) - 1)
-    yq = jnp.where(live, yq, 0)
+    if qspan is None:
+        span_a = anch_ssum = None
+        yq = jnp.where(fwd, qpos_a,
+                       qlen[:, None] - (qpos_a + 1 - k32) - 1)
+        yq = jnp.where(live, yq, 0)
+    else:
+        span_a = jnp.take_along_axis(span_e, e_clip, axis=1)
+        yq = jnp.where(fwd, qpos_a,
+                       qlen[:, None] - (qpos_a + 1 - span_a) - 1)
+        yq = jnp.where(live, yq, 0)
+        span_a = jnp.where(live, span_a, 0)
+        anch_ssum = jnp.sum(span_a, axis=1).astype(jnp.int32)
     n_anch = jnp.sum(live, axis=1).astype(jnp.int32)
 
-    key1, key2, yq = jax.lax.sort((key1, key2, yq), dimension=1,
-                                  num_keys=2, is_stable=True)
+    if qspan is None:
+        key1, key2, yq = jax.lax.sort(
+            (key1, key2, yq), dimension=1, num_keys=2, is_stable=True)
+        span_s = None
+    else:
+        key1, key2, yq, span_s = jax.lax.sort(
+            (key1, key2, yq, span_a), dimension=1, num_keys=2,
+            is_stable=True)
+    return (key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept,
+            kept_ssum, anch_ssum)
 
-    # --- fused chain DP (Pallas) + peak / min-rank ring passes
+
+def _run_dp(key1, key2, yq, span_s, n_anch, limbs, rbad,
+            st: StepStatic):
+    """Fused chain DP (Pallas) + peak ring pass. limbs: (5, Q) int32
+    fixed-point gap multiplier limbs per row; rbad: (1, Q) rows with no
+    exact multiplier (flagged into the kernel flag)."""
+    Q, A = key1.shape
     carry = tuple(jnp.asarray(c) for c in make_carry_pallas(Q, J))
-    limbs = jnp.broadcast_to(limbs5[:, None], (5, Q))
-    rbad = jnp.zeros((1, Q), jnp.int32)
-    kspan = jnp.full((A, Q), st.k, jnp.int32)
+    if span_s is None:
+        kspan = jnp.full((A, Q), st.k, jnp.int32)
+    else:
+        kspan = span_s.T
     f_t, p_t, v_t, *rest = _chain_dp_pallas_t(
         key1.T, key2.T, yq.T, kspan, n_anch.reshape(1, -1), limbs, rbad,
         carry, jnp.int32(0), J=J, max_dist=st.max_gap, bw=st.bw,
@@ -358,7 +384,22 @@ def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
     kflag = rest[-1].reshape(-1) != 0
     p_t = jnp.where(p_t < -1, -1, p_t)
     peak_t = peak_pass(f_t, v_t, p_t, J=J, interpret=st.interpret)
-    f, p, v, peak = f_t.T, p_t.T, v_t.T, peak_t.T
+    return f_t.T, p_t.T, v_t.T, peak_t.T, kflag
+
+
+def _post_dp(key1, key2, yq, span_s, f, p, v, peak, kflag,
+             n_anch, n_q, mp_pos, n_kept, seq_lens, qlen, qvalid,
+             n_exp, lam, lam2, avgk_set, m_cnts, st: StepStatic):
+    """Chain selection, reg geometry, coverage accounting and interval
+    compression (chain extraction per ops/chainsel; esterr.c:72-140;
+    lqmap.c:25-100). span_s: per-anchor spans in sorted order (None =
+    plain mode, span == k)."""
+    Q, A = key1.shape
+    M2 = st.M2
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Q, A), 0)
+    k32 = jnp.int32(st.k)
+    a_ids = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :],
+                             (Q, A))
 
     # --- chain candidates: ends -> unique peaks -> ranks (chainsel)
     anch_on = a_ids < n_anch[:, None]
@@ -420,10 +461,13 @@ def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
     yq0 = gat(yq, first_idx)
     re = gat(key2, pk_idx) + 1
     yql = gat(yq, pk_idx)
-    rs = jnp.maximum(rs_last + 1 - k32, 0)
+    # span of the chain's root-most anchor (q_span in chain_to_reg,
+    # overlap_host); constant k in plain mode
+    span_f = k32 if span_s is None else gat(span_s, first_idx)
+    rs = jnp.maximum(rs_last + 1 - span_f, 0)
     qlen_b = qlen[:, None]
-    qs = jnp.where(c_rev == 0, yq0 + 1 - k32, qlen_b - (yql + 1))
-    qe = jnp.where(c_rev == 0, yql + 1, qlen_b - (yq0 + 1 - k32))
+    qs = jnp.where(c_rev == 0, yq0 + 1 - span_f, qlen_b - (yql + 1))
+    qe = jnp.where(c_rev == 0, yql + 1, qlen_b - (yq0 + 1 - span_f))
 
     # --- lq_cnt_match (esterr.c:72-140)
     capped = avgk_set.astype(bool) & \
@@ -432,7 +476,9 @@ def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
 
     first_fwd = jnp.where(c_rev == 0, first_idx, pk_idx)
     yq_ff = gat(yq, first_fwd)
-    x0 = jnp.where(c_rev == 0, yq_ff, qlen_b - 1 - (yq_ff + 1 - k32))
+    span_ff = k32 if span_s is None else gat(span_s, first_fwd)
+    x0 = jnp.where(c_rev == 0, yq_ff,
+                   qlen_b - 1 - (yq_ff + 1 - span_ff))
     st_i = _row_searchsorted(mp_pos, x0).astype(jnp.int32)
     st_c = jnp.clip(st_i, 0, M2 - 1)
     ok_st = (st_i < n_kept[:, None]) & \
@@ -472,7 +518,8 @@ def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
         (jnp.take_along_axis(tbl_good, mr_c, axis=1) == 1)
     a_first = jnp.take_along_axis(tbl_ff, mr_c, axis=1) == a_ids
     a_rev = (key1 >> 24) & 1
-    fq = jnp.where(a_rev == 0, yq, qlen_b - 1 - (yq + 1 - k32))
+    span_all = k32 if span_s is None else span_s
+    fq = jnp.where(a_rev == 0, yq, qlen_b - 1 - (yq + 1 - span_all))
     js = _row_searchsorted(mp_pos, fq).astype(jnp.int32)
     js_c = jnp.clip(js, 0, M2 - 1)
     js_ok = (js < n_kept[:, None]) & \
@@ -544,12 +591,108 @@ def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
     packed = jnp.concatenate(
         [new_flags[:, None], ev_n.astype(jnp.int32)[:, None], events],
         axis=1)
-    return (lam_new, lam2_new, avgk_new, mc, packed)
+    return (lam_new, lam2_new, avgk_new, mc, packed, proc)
+
+
+def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
+               qh, qpos, qstrand, e_src, n_exp, qlen, qrank, qbisect,
+               qvalid, lam, lam2, avgk_set, m_cnts, limbs5,
+               st: StepStatic):
+    """One (part x query-group) update (plain sketch, constant span).
+    Returns committed state and the packed [flags|ev_n|events] array.
+
+    Q is taken from the runtime shape (not st.Q) so the same body serves
+    both the single-device jit and the shard_map lane-sharded wrapper
+    (parallel/mesh.overlap P8 scaling: index replicated, lanes sharded).
+    """
+    Q = qh.shape[0]
+    (key1, key2, yq, _sp, n_anch, n_q, mp_pos, n_kept,
+     _ks, _as) = _collect_anchors(
+        ih, irid, ips, rid_rank, mid_occ, qh, qpos, qstrand, e_src,
+        qlen, qrank, qbisect, st)
+    limbs = jnp.broadcast_to(limbs5[:, None], (5, Q))
+    rbad = jnp.zeros((1, Q), jnp.int32)
+    f, p, v, peak, kflag = _run_dp(key1, key2, yq, None, n_anch,
+                                   limbs, rbad, st)
+    out = _post_dp(key1, key2, yq, None, f, p, v, peak, kflag,
+                   n_anch, n_q, mp_pos, n_kept, seq_lens, qlen, qvalid,
+                   n_exp, lam, lam2, avgk_set, m_cnts, st)
+    return out[:5]
 
 
 _step = functools.partial(jax.jit, static_argnames=("st",),
                           donate_argnames=("lam", "lam2", "avgk_set",
                                            "m_cnts"))(_step_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("st",))
+def _step_hpc_a(ih, irid, ips, rid_rank, mid_occ, qh, qpos, qstrand,
+                qspan, e_src, qlen, qrank, qbisect, st: StepStatic):
+    """HPC step, phase A: anchors + spans + the per-row span statistics
+    the host needs to fit the per-row gap-penalty multiplier
+    (avg_qspan is data-dependent under HPC, sketch.c:90-104). Returns
+    device arrays for phase B plus a (Q, 5) stats pull target
+    [n_anch, anch_span_sum, n_kept, kept_span_sum, n_q]."""
+    (key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept, kept_ssum,
+     anch_ssum) = _collect_anchors(
+        ih, irid, ips, rid_rank, mid_occ, qh, qpos, qstrand, e_src,
+        qlen, qrank, qbisect, st, qspan=qspan)
+    stats = jnp.stack([n_anch, anch_ssum, n_kept, kept_ssum, n_q],
+                      axis=1)
+    return key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept, stats
+
+
+@functools.partial(jax.jit, static_argnames=("st",),
+                   donate_argnames=("lam", "lam2", "avgk_set",
+                                    "avgk_val", "m_cnts"))
+def _step_hpc_b(key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept,
+                seq_lens, qlen, qvalid, n_exp, lam, lam2, avgk_set,
+                avgk_val, m_cnts, limbs, rbad, kept_avg,
+                st: StepStatic):
+    """HPC step, phase B: chain DP + accounting with per-anchor spans
+    and per-row penalty limbs. avgk_val (f32 state) captures the kept-
+    minimizer mean span the first time a row is processed (the host
+    spec's state.avg_k, set host-side in kept_avg for f32 bit parity)."""
+    f, p, v, peak, kflag = _run_dp(key1, key2, yq, span_s, n_anch,
+                                   limbs, rbad, st)
+    (lam_n, lam2_n, avgk_n, mc, packed, proc) = _post_dp(
+        key1, key2, yq, span_s, f, p, v, peak, kflag, n_anch, n_q,
+        mp_pos, n_kept, seq_lens, qlen, qvalid, n_exp, lam, lam2,
+        avgk_set, m_cnts, st)
+    bad = packed[:, 0] != 0
+    set_now = proc & (n_kept > 0) & (avgk_set == 0) & ~bad
+    avgk_val_n = jnp.where(set_now, kept_avg, avgk_val)
+    return lam_n, lam2_n, avgk_n, avgk_val_n, mc, packed
+
+
+@functools.partial(jax.jit, static_argnames=("M",))
+def _compact_sketch_hpc(emit, hsh, pos, strand, *, M):
+    """Per-row compaction of the HPC sketch output (u64 packed keys
+    hash<<8|span) into (hash32, pos, strand, span) i32 slots."""
+    B, L = emit.shape
+    has = emit > 0
+    posl = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :],
+                            (B, L))
+    order = jnp.argsort(jnp.where(has, posl, INF32), axis=1)[:, :M]
+    n = jnp.sum(has, axis=1).astype(jnp.int32)
+    slot_on = jnp.arange(M, dtype=jnp.int32)[None, :] < \
+        jnp.minimum(n, M)[:, None]
+    pk = jnp.take_along_axis(hsh, order, axis=1)
+    qh = jnp.where(slot_on,
+                   (pk >> jnp.uint64(8)).astype(jnp.uint32)
+                   .astype(jnp.int32), INF32)
+    qspan = jnp.where(slot_on,
+                      (pk & jnp.uint64(0xFF)).astype(jnp.int32), 0)
+    qpos = jnp.where(slot_on,
+                     jnp.take_along_axis(pos.astype(jnp.int32), order,
+                                         axis=1), 0)
+    qstrand = jnp.where(slot_on,
+                        jnp.take_along_axis(strand.astype(jnp.int32),
+                                            order, axis=1), 0)
+    qcnt = jnp.where(slot_on,
+                     jnp.take_along_axis(emit.astype(jnp.int32), order,
+                                         axis=1), 0)
+    return qh, qpos, qstrand, qspan, qcnt, n
 
 
 @functools.lru_cache(maxsize=64)
@@ -796,22 +939,53 @@ class _Group:
     """A batch of query lanes sharing one length bucket (GROUP_Q lanes
     per mesh shard)."""
 
-    def __init__(self, qids, reads, k, w, interpret, lanes=GROUP_Q):
+    def __init__(self, qids, reads, k, w, interpret, lanes=GROUP_Q,
+                 hpc=False):
         self.lanes = lanes
         self.qids = qids                     # lane -> global query index
+        self.hpc = hpc
         self.blen = _len_bucket(max(len(reads[i][1]) for i in qids))
         self.M = self.blen // 2
         self.M2 = self.blen
-        rows = [reads[i] for i in qids]
-        while len(rows) < lanes:
-            rows.append(["\0pad", "A" * k, ""])
-        batch = pack_reads(rows, max_len=self.blen, pad_to=self.blen,
-                           with_quals=False)
-        res = sketch_batch(jnp.asarray(batch.codes),
-                           jnp.asarray(batch.lengths), w=w, k=k)
-        (self.qh, self.qpos, self.qstrand, qcnt,
-         self.n_slots) = _compact_sketch(
-            res["emit"], res["hash"], res["pos"], res["strand"], M=self.M)
+        if hpc:
+            # homopolymer-compressed entries (sketch.c:90-104): one
+            # entry per run, positions = run-end read coordinate, spans
+            # = windowed run-length sums. Compressed length <= read
+            # length, so the original-length bucket always fits.
+            from longqc_tpu.ops.sketch_hpc import hpc_compress
+            comp = [hpc_compress(reads[i][1], k) for i in qids]
+            while len(comp) < lanes:
+                comp.append(hpc_compress("A" * k, k))
+            codes = np.full((lanes, self.blen), 4, np.uint8)
+            positions = np.zeros((lanes, self.blen), np.int32)
+            spans = np.zeros((lanes, self.blen), np.int32)
+            lengths = np.zeros(lanes, np.int32)
+            for slot, (c, p, s) in enumerate(comp):
+                codes[slot, :len(c)] = c
+                positions[slot, :len(c)] = p
+                spans[slot, :len(c)] = s
+                lengths[slot] = len(c)
+            res = sketch_batch(jnp.asarray(codes), jnp.asarray(lengths),
+                               w=w, k=k,
+                               positions=jnp.asarray(positions),
+                               spans=jnp.asarray(spans))
+            (self.qh, self.qpos, self.qstrand, self.qspan, qcnt,
+             self.n_slots) = _compact_sketch_hpc(
+                res["emit"], res["hash"], res["pos"], res["strand"],
+                M=self.M)
+        else:
+            rows = [reads[i] for i in qids]
+            while len(rows) < lanes:
+                rows.append(["\0pad", "A" * k, ""])
+            batch = pack_reads(rows, max_len=self.blen, pad_to=self.blen,
+                               with_quals=False)
+            res = sketch_batch(jnp.asarray(batch.codes),
+                               jnp.asarray(batch.lengths), w=w, k=k)
+            (self.qh, self.qpos, self.qstrand, qcnt,
+             self.n_slots) = _compact_sketch(
+                res["emit"], res["hash"], res["pos"], res["strand"],
+                M=self.M)
+            self.qspan = None
         self.e_src, self.n_exp = _group_expand(qcnt, self.n_slots,
                                                M2=self.M2)
         self.qcnt = qcnt
@@ -829,6 +1003,7 @@ class _Group:
         self.lam = jnp.zeros((lanes,), jnp.int64)
         self.lam2 = jnp.zeros((lanes,), jnp.int64)
         self.avgk_set = jnp.zeros((lanes,), jnp.int32)
+        self.avgk_val = jnp.zeros((lanes,), jnp.float32) if hpc else None
         self.m_cnts = jnp.zeros((lanes, self.M2), jnp.int32)
         self._host_sketch = None
 
@@ -853,18 +1028,27 @@ class _Group:
             qstr = np.asarray(self.qstrand)
             qcnt = np.asarray(self.qcnt)
             ns = np.asarray(self.n_slots)
+            qsp = np.asarray(self.qspan) if self.hpc else None
             out = []
             for r in range(self.lanes):
                 if r < len(self.qids) and self.perm_host[r]:
-                    out.append(oh.sketch_reads_device(
-                        [reads[self.qids[r]]], k, w)[0])
+                    if self.hpc:
+                        from longqc_tpu.ops.sketch_hpc import \
+                            sketch_reads_hpc
+                        out.append(sketch_reads_hpc(
+                            [reads[self.qids[r]]], k, w)[0])
+                    else:
+                        out.append(oh.sketch_reads_device(
+                            [reads[self.qids[r]]], k, w)[0])
                     continue
                 n = min(int(ns[r]), self.M)
                 rep = np.repeat(np.arange(n), qcnt[r, :n])
+                spans = (qsp[r, rep].astype(np.int64) if self.hpc
+                         else np.full(len(rep), k, np.int64))
                 out.append((qh[r, rep].astype(np.uint64),
                             qpos[r, rep].astype(np.int64),
                             qstr[r, rep].astype(np.int64),
-                            np.full(len(rep), k, np.int64)))
+                            spans))
             self._host_sketch = out
         return self._host_sketch
 
@@ -882,7 +1066,7 @@ class _PartIndex:
     """
 
     def __init__(self, part, k, w, mid_occ_fixed, mid_occ_frac,
-                 ladder, n_idx_sizes):
+                 ladder, n_idx_sizes, hpc=False):
         self.part = part
         self.names = [r[0] for r in part]
         uniq = sorted(set(self.names))
@@ -898,6 +1082,35 @@ class _PartIndex:
         self.rid_rank = jnp.asarray(rid_rank)
         self.seq_lens = jnp.asarray(seq_lens)
         self.host_only = False
+        self.hpc = hpc
+        if hpc:
+            # HPC targets (the spike-in control genome, longQC.py:255)
+            # are tiny; the exact host index is built directly and
+            # converted to the device layout (hash-major sorted arrays
+            # with duplicates expanded — the same contract the tile
+            # pipeline produces). k <= 15 keeps hashes in int32.
+            hidx = oh.build_index(part, k, w, is_hpc=True)
+            n_real = len(hidx.h)
+            n_idx = next((s for s in n_idx_sizes if n_real <= s), None)
+            if n_idx is None:
+                self.host_only = True
+                self.ih = self.irid = self.ips = None
+                self.mid_occ = None
+            else:
+                ih = np.full(n_idx, INF32, np.int32)
+                ih[:n_real] = hidx.h.astype(np.int64).astype(np.int32)
+                irid = np.zeros(n_idx, np.int32)
+                irid[:n_real] = hidx.rid.astype(np.int32)
+                ips = np.zeros(n_idx, np.int32)
+                ips[:n_real] = hidx.ps.astype(np.int32)
+                self.ih = jnp.asarray(ih)
+                self.irid = jnp.asarray(irid)
+                self.ips = jnp.asarray(ips)
+                mo = mid_occ_fixed or hidx.mid_occ(mid_occ_frac)
+                self.mid_occ = jnp.asarray(np.int32(mo))
+            self._host_index = hidx
+            self._k, self._w = k, w
+            return
         try:
             idx = di.build_device_index(
                 part, k, w, ladder=ladder, n_idx_sizes=n_idx_sizes,
@@ -917,10 +1130,11 @@ class _PartIndex:
 
     def host_index(self):
         """Exact host MinimizerIndex for this part (built lazily, only
-        when a flagged row needs the host fallback)."""
+        when a flagged row needs the host fallback; the HPC path builds
+        it eagerly as the device index source)."""
         if self._host_index is None:
             self._host_index = oh.build_index(self.part, self._k,
-                                              self._w)
+                                              self._w, is_hpc=self.hpc)
         return self._host_index
 
 
@@ -949,21 +1163,28 @@ class DeviceOverlapEngine:
         geometry: "big"/"small" tile+index canonical shapes
         (device_index.TILE_LADDER[_SMALL]); default big on TPU.
         """
-        if cfg.index.is_hpc:
-            raise NotImplementedError(
-                "HPC sketch (pb-hifi / --filter) uses the host path")
         if 2 * cfg.index.k > 30:
             # the device index and group sketch carry hashes in int32
             # lanes (ops/sketch u32 fast path); k > 15 would truncate
             raise NotImplementedError(
                 "device engine requires 2k <= 30 (u32 minimizer hash)")
+        self.hpc = cfg.index.is_hpc
+        if self.hpc and mesh is not None:
+            raise NotImplementedError(
+                "HPC sketch is single-device (filter runs are small)")
         self.cfg = cfg
         self.k, self.w = cfg.index.k, cfg.index.w
-        limbs = penalty_limbs(float(np.float32(self.k)), cfg.map.bw)
-        if limbs is None:
-            raise NotImplementedError(
-                "no fixed-point gap-penalty multiplier for this (k, bw)")
-        self.limbs5 = jnp.asarray(limbs)
+        if self.hpc:
+            # per-row gap multipliers are fitted from the data-dependent
+            # avg_qspan between the two step phases (_step_hpc_a/_b)
+            self.limbs5 = None
+        else:
+            limbs = penalty_limbs(float(np.float32(self.k)), cfg.map.bw)
+            if limbs is None:
+                raise NotImplementedError(
+                    "no fixed-point gap-penalty multiplier for this "
+                    "(k, bw)")
+            self.limbs5 = jnp.asarray(limbs)
         on_tpu = jax.default_backend() == "tpu"
         if interpret is None:
             interpret = not on_tpu
@@ -988,19 +1209,22 @@ class DeviceOverlapEngine:
         for i, r in enumerate(query_reads):
             by_bucket.setdefault(_len_bucket(len(r[1])), []).append(i)
         if on_tpu and not interpret and mesh is None:
-            # absorb the backend's first-pull stall on a side thread and
-            # feed the remote compiler every canonical program at once
-            # (it parallelizes ~3.5x) while groups stage below
+            # absorb the backend's first-pull stall on a side thread
+            # and (plain mode) feed the remote compiler every canonical
+            # program at once (it parallelizes ~3.5x) while groups
+            # stage below; HPC programs compile lazily (small runs)
             from longqc_tpu.parallel.warm import start_warm_pull
             start_warm_pull()
-            precompile(self.cfg, sorted(by_bucket), lanes=self.lanes,
-                       a_rungs=self.a_ladder[:1], geometry=geometry,
-                       background=True)
+            if not self.hpc:
+                precompile(self.cfg, sorted(by_bucket),
+                           lanes=self.lanes, a_rungs=self.a_ladder[:1],
+                           geometry=geometry, background=True)
         for blen, idxs in sorted(by_bucket.items()):
             for off in range(0, len(idxs), self.lanes):
                 self.groups.append(_Group(idxs[off:off + self.lanes],
                                           query_reads, self.k, self.w,
-                                          interpret, lanes=self.lanes))
+                                          interpret, lanes=self.lanes,
+                                          hpc=self.hpc))
         self.events = [[] for _ in query_reads]   # flat tagged endpoints
         # persistent host ReadStates for permanently host-processed
         # rows; populated lazily per group (first host access) so the
@@ -1035,7 +1259,8 @@ class DeviceOverlapEngine:
             t0 = time.time()
             pidx = _PartIndex(part, self.k, self.w, cfg.map.mid_occ,
                               cfg.map.mid_occ_frac,
-                              self.tile_ladder, self.n_idx_sizes)
+                              self.tile_ladder, self.n_idx_sizes,
+                              hpc=self.hpc)
             self.phase_s["index"] += time.time() - t0
             return pidx
 
@@ -1054,6 +1279,9 @@ class DeviceOverlapEngine:
 
     def _step_group(self, g, pidx, qrank_d, qbisect_d, qvalid, A):
         st = self._static(g, A)
+        if self.hpc:
+            return self._step_group_hpc(g, pidx, qrank_d, qbisect_d,
+                                        qvalid, st)
         if self.mesh is not None:
             step_fn = _sharded_step(self.mesh, st)
         else:
@@ -1064,6 +1292,41 @@ class DeviceOverlapEngine:
             g.qh, g.qpos, g.qstrand, g.e_src, g.n_exp,
             g.qlen, qrank_d, qbisect_d, qvalid,
             g.lam, g.lam2, g.avgk_set, g.m_cnts, self.limbs5)
+        self.n_device_calls += 1
+        return packed
+
+    def _step_group_hpc(self, g, pidx, qrank_d, qbisect_d, qvalid, st):
+        """Two-phase HPC step: anchors + span stats on device, per-row
+        gap-multiplier fit on host (avg_qspan is data-dependent under
+        HPC), then DP + accounting on device."""
+        (key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept,
+         stats) = _step_hpc_a(
+            pidx.ih, pidx.irid, pidx.ips, pidx.rid_rank, pidx.mid_occ,
+            g.qh, g.qpos, g.qstrand, g.qspan, g.e_src, g.qlen,
+            qrank_d, qbisect_d, st=st)
+        stats_np = np.asarray(stats)
+        Q = stats_np.shape[0]
+        limbs = np.zeros((5, Q), np.int32)
+        rbad = np.zeros((1, Q), np.int32)
+        kept_avg = np.zeros(Q, np.float32)
+        for r in range(Q):
+            n_a, ssum, nk, kss, _nq = (int(x) for x in stats_np[r])
+            if nk > 0:
+                kept_avg[r] = np.float32(kss / nk)
+            if n_a > 0:
+                avg_q = float(np.float32(ssum / n_a))
+                lb = penalty_limbs(avg_q, self.cfg.map.bw)
+                if lb is None:
+                    rbad[0, r] = 1
+                else:
+                    limbs[:, r] = lb
+        (g.lam, g.lam2, g.avgk_set, g.avgk_val, g.m_cnts,
+         packed) = _step_hpc_b(
+            key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept,
+            pidx.seq_lens, g.qlen, qvalid, g.n_exp,
+            g.lam, g.lam2, g.avgk_set, g.avgk_val, g.m_cnts,
+            jnp.asarray(limbs), jnp.asarray(rbad),
+            jnp.asarray(kept_avg), st=st)
         self.n_device_calls += 1
         return packed
 
@@ -1175,6 +1438,7 @@ class DeviceOverlapEngine:
         lam = np.asarray(g.lam).copy()
         lam2 = np.asarray(g.lam2).copy()
         avgk = np.asarray(g.avgk_set).copy()
+        avgkv = np.asarray(g.avgk_val).copy() if g.hpc else None
         mcn = np.asarray(g.m_cnts).copy()
         n_exp_np = np.asarray(g.n_exp)
         mask = np.zeros(self.lanes, np.int32)
@@ -1188,8 +1452,12 @@ class DeviceOverlapEngine:
                 state = oh.ReadState(0)
                 state.lam = int(lam[r])
                 state.lam2 = int(lam2[r])
-                state.avg_k = (np.float32(self.k) if avgk[r]
-                               else np.float32(0.0))
+                if not avgk[r]:
+                    state.avg_k = np.float32(0.0)
+                elif g.hpc:
+                    state.avg_k = np.float32(avgkv[r])
+                else:
+                    state.avg_k = np.float32(self.k)
                 n_exp = int(n_exp_np[r])
                 mc_row = np.zeros(max(n_exp, len(sk[r][0])), np.uint16)
                 upto = min(n_exp, g.M2)
@@ -1218,6 +1486,8 @@ class DeviceOverlapEngine:
             lam[r] = state.lam
             lam2[r] = state.lam2
             avgk[r] = 1 if state.avg_k != 0.0 else 0
+            if g.hpc:
+                avgkv[r] = state.avg_k
             mcn[r, :] = 0
             upto = min(len(state.m_cnts), g.M2)
             mcn[r, :upto] = state.m_cnts[:upto].astype(np.int32)
@@ -1227,6 +1497,8 @@ class DeviceOverlapEngine:
                 g.lam, g.lam2, g.avgk_set, g.m_cnts, jnp.asarray(mask),
                 jnp.asarray(lam), jnp.asarray(lam2), jnp.asarray(avgk),
                 jnp.asarray(mcn))
+            if g.hpc:
+                g.avgk_val = jnp.asarray(avgkv)
 
     def _finalize(self):
         cfg = self.cfg
@@ -1245,6 +1517,7 @@ class DeviceOverlapEngine:
             lam2 = np.asarray(lam2)
             n_match = np.asarray(n_match)
             n_exp = np.asarray(g.n_exp)
+            avgkv = np.asarray(g.avgk_val) if g.hpc else None
             for r, qi in enumerate(g.qids):
                 q = self.queries[qi]
                 if qi in self.host_state:
@@ -1259,8 +1532,10 @@ class DeviceOverlapEngine:
                     div = oh.div_score(mv_n, nm, st.avg_k)
                     lam_r, lam2_r = st.lam, st.lam2
                 else:
+                    avg_k = (np.float32(avgkv[r]) if g.hpc
+                             else np.float32(self.k))
                     div = oh.div_score(int(n_exp[r]), int(n_match[r]),
-                                       np.float32(self.k))
+                                       avg_k)
                     lam_r, lam2_r = int(lam[r]), int(lam2[r])
                 vc = sorted(self.events[qi])
                 rows[qi] = oh.emit_row(

@@ -196,9 +196,10 @@ def overlap_run_device(target_iter, query_reads, cfg: OverlapConfig,
     """Device-path overlap run -> 9-column TSV rows.
 
     Dispatches to the device-resident engine (engine/device_overlap,
-    the round-2 hot path) for plain-sketch configs; HPC-sketch runs
-    (pb-hifi, spike-in --filter) use the round-1 batched-chainer path.
-    Override with LONGQC_OVERLAP_ENGINE=v1|v2.
+    the flagship hot path) for every config with 2k <= 30, including
+    HPC-sketch runs (the spike-in --filter, pb-hifi); configs the
+    device engine cannot serve exactly (k > 15) use the round-1
+    batched-chainer path. Override with LONGQC_OVERLAP_ENGINE=v1|v2.
 
     parts: pre-grouped part read-lists (the -d prefetch path).
     index_cache: npz path prefix for host-index persistence (only the
@@ -206,7 +207,7 @@ def overlap_run_device(target_iter, query_reads, cfg: OverlapConfig,
     its index on device each part, which is cheaper than a host load).
     """
     choice = os.environ.get("LONGQC_OVERLAP_ENGINE", "")
-    if choice != "v1" and not cfg.index.is_hpc:
+    if choice != "v1":
         try:
             from longqc_tpu.engine.device_overlap import \
                 overlap_run_device2

@@ -103,8 +103,46 @@ def test_geom_ok_exact_f64_semantics():
             assert np.array_equal(np.asarray(got), want), ratio
 
 
-def test_device2_hpc_unsupported():
-    cfg = _cfg()
-    cfg.index.is_hpc = True
+def test_device2_big_k_unsupported():
+    # k > 15 would truncate hashes in the int32 index lanes
+    cfg = OverlapConfig(index=IndexOpt(k=19, w=10),
+                        map=MapOpt(), flt=FltOpt())
     with pytest.raises(NotImplementedError):
         DeviceOverlapEngine(cfg, [["q", "ACGT" * 100, ""]])
+
+
+def test_device2_hpc_filter_rows_match_host():
+    # the spike-in control filter shape (longQC.py:255): one small
+    # target genome indexed with -Hk15 -w10, sample reads as queries,
+    # min_coverage=1 + --filter column semantics
+    rng = np.random.RandomState(41)
+    control = make_genome(rng, 12000)
+    reads = sample_reads(rng, control, 70, min_len=600, max_len=1600,
+                         err=0.1, junk_frac=0.2)
+    cfg = OverlapConfig(index=IndexOpt(k=15, w=10, is_hpc=True),
+                        map=MapOpt(),
+                        flt=FltOpt(min_ovlp=0, min_coverage=1),
+                        filter_mode=True)
+    target = [["control", control, ""]]
+    rows_host = oh.overlap_run(list(target), reads, cfg)
+    eng = DeviceOverlapEngine(cfg, reads)
+    rows_dev = eng.run(list(target))
+    assert rows_dev == rows_host
+
+
+def test_device2_hpc_ava_rows_match_host():
+    # HPC all-vs-sample with homopolymer-rich reads (spans far from k)
+    rng = np.random.RandomState(59)
+    base = make_genome(rng, 18000)
+    # stretch homopolymers so HPC compression is significant
+    genome = "".join(c * (1 + rng.randint(0, 4)) for c in base)
+    reads = sample_reads(rng, genome, 120, min_len=700, max_len=2000,
+                         err=0.1, junk_frac=0.1)
+    queries = reads[:30]
+    cfg = OverlapConfig(index=IndexOpt(k=15, w=10, is_hpc=True),
+                        map=MapOpt(min_score_med=80, min_score_good=160),
+                        flt=FltOpt(min_ovlp=0))
+    rows_host = oh.overlap_run(list(reads), queries, cfg)
+    eng = DeviceOverlapEngine(cfg, queries)
+    rows_dev = eng.run(list(reads))
+    assert rows_dev == rows_host
