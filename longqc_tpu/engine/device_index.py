@@ -332,21 +332,23 @@ def pad_to(ka, pa1, pa2, *, n_out):
 @jax.jit
 def index_runlens(ih):
     """Per-key occurrence runs on the sorted hash array: returns
-    (is_start, run_len, n_keys). run_len is nonzero only at run starts."""
+    (is_start, run_len, n_keys). run_len is nonzero only at run starts.
+
+    Run lengths come from a self-searchsorted (right bound minus own
+    position at each run start) rather than a reverse associative scan:
+    the scan's XLA compile is pathological at canonical widths on the
+    attached backend (238 s at 2M slots, wedged at 16M) while the
+    binary-search gather loop compiles in ~1 s. INF32 padding sorts
+    after every real hash (hashes are < 2^31 - 1), so the right bound
+    of the last run lands at n_valid."""
     N = ih.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = ih != INF32
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ih[:-1]])
     is_start = valid & (ih != prev)
     n_keys = jnp.sum(is_start).astype(jnp.int32)
-    n_valid = jnp.sum(valid).astype(jnp.int32)
-    # run length at each start: distance to the next start (or n_valid)
-    nxt = jnp.concatenate([is_start[1:],
-                           jnp.ones((1,), dtype=is_start.dtype)])
-    nxt_pos = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(nxt, idx + 1, N), reverse=True)
-    run_len = jnp.where(is_start,
-                        jnp.minimum(nxt_pos, n_valid) - idx, 0)
+    right = jnp.searchsorted(ih, ih, side="right").astype(jnp.int32)
+    run_len = jnp.where(is_start, right - idx, 0)
     return is_start, run_len, n_keys
 
 

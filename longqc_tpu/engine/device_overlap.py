@@ -308,16 +308,41 @@ def _collect_anchors(ih, irid, ips, rid_rank, mid_occ,
         kept_ssum = jnp.sum(jnp.where(kept, span_e, 0),
                             axis=1).astype(jnp.int32)
 
-    # --- weighted anchor expansion
+    # --- weighted anchor expansion. The owning entry of anchor slot j
+    # (searchsorted(ce, j, "right") in the spec) is materialized by
+    # seeding each entry id at its run start and forward-max-scanning:
+    # the vmapped binary search lowers to a pathological while loop on
+    # this backend (557 ms/call at A=32768 vs ~40 ms for scatter+scan)
     ce = jnp.cumsum(jnp.where(kept, occ_e, 0), axis=1)
     n_q = ce[:, -1].astype(jnp.int32)
     a_ids = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :],
                              (Q, A))
-    e_of_a = _row_searchsorted(ce, a_ids, side="right").astype(jnp.int32)
+    rows_qa = jax.lax.broadcasted_iota(jnp.int32, (Q, A), 0)
     ce_pad = jnp.concatenate([jnp.zeros((Q, 1), jnp.int32), ce], axis=1)
+    starts_e = ce_pad[:, :M2]          # run start offset of entry e
+    e_ids = jnp.broadcast_to(jnp.arange(M2, dtype=jnp.int32)[None, :],
+                             (Q, M2))
+    rows_qm = jax.lax.broadcasted_iota(jnp.int32, (Q, M2), 0)
+    seed = jnp.full((Q, A), -1, jnp.int32).at[
+        rows_qm, jnp.where(kept, jnp.minimum(starts_e, A), A)].max(
+        e_ids, mode="drop")
+    e_of_a = jax.lax.associative_scan(jnp.maximum, seed, axis=1)
     t_in_e = a_ids - jnp.take_along_axis(ce_pad, e_of_a, axis=1)
     valid_a = a_ids < n_q[:, None]
     e_clip = jnp.clip(e_of_a, 0, M2 - 1)
+
+    # per-entry kept rank (index into mp_pos): searchsorted(mp_pos, fq)
+    # of an anchor's forward position is exactly the kept rank of the
+    # FIRST expansion entry of its source slot (forward position ==
+    # minimizer position on both strands — an involution — slots have
+    # distinct positions, and a slot's duplicate expansions are kept
+    # together and consecutively)
+    kept_rank = jnp.cumsum(kept.astype(jnp.int32), axis=1) - 1
+    prev_src = jnp.pad(e_src, ((0, 0), (1, 0)),
+                       constant_values=-1)[:, :M2]
+    slot_first = e_src != prev_src
+    off_in_slot = e_ids - _seg_fill_last(slot_first, e_ids, 0)
+    js_e = kept_rank - off_in_slot
     # duplicates were expanded at index build: the t-th occurrence of an
     # entry is a direct offset from its run start
     N = ih.shape[0]
@@ -340,6 +365,7 @@ def _collect_anchors(ih, irid, ips, rid_rank, mid_occ,
     live = valid_a & ~drop
     key1 = jnp.where(live, (rev << 24) | rid_a, INF32)
     key2 = jnp.where(live, rpos, INF32)
+    js_a = jnp.where(live, jnp.take_along_axis(js_e, e_clip, axis=1), 0)
     if qspan is None:
         span_a = anch_ssum = None
         yq = jnp.where(fwd, qpos_a,
@@ -355,14 +381,15 @@ def _collect_anchors(ih, irid, ips, rid_rank, mid_occ,
     n_anch = jnp.sum(live, axis=1).astype(jnp.int32)
 
     if qspan is None:
-        key1, key2, yq = jax.lax.sort(
-            (key1, key2, yq), dimension=1, num_keys=2, is_stable=True)
+        key1, key2, yq, js_s = jax.lax.sort(
+            (key1, key2, yq, js_a), dimension=1, num_keys=2,
+            is_stable=True)
         span_s = None
     else:
-        key1, key2, yq, span_s = jax.lax.sort(
-            (key1, key2, yq, span_a), dimension=1, num_keys=2,
+        key1, key2, yq, js_s, span_s = jax.lax.sort(
+            (key1, key2, yq, js_a, span_a), dimension=1, num_keys=2,
             is_stable=True)
-    return (key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept,
+    return (key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos, n_kept,
             kept_ssum, anch_ssum)
 
 
@@ -387,7 +414,7 @@ def _run_dp(key1, key2, yq, span_s, n_anch, limbs, rbad,
     return f_t.T, p_t.T, v_t.T, peak_t.T, kflag
 
 
-def _post_dp(key1, key2, yq, span_s, f, p, v, peak, kflag,
+def _post_dp(key1, key2, yq, js_s, span_s, f, p, v, peak, kflag,
              n_anch, n_q, mp_pos, n_kept, seq_lens, qlen, qvalid,
              n_exp, lam, lam2, avgk_set, m_cnts, st: StepStatic):
     """Chain selection, reg geometry, coverage accounting and interval
@@ -403,10 +430,12 @@ def _post_dp(key1, key2, yq, span_s, f, p, v, peak, kflag,
 
     # --- chain candidates: ends -> unique peaks -> ranks (chainsel)
     anch_on = a_ids < n_anch[:, None]
-    is_parent = jnp.zeros((Q, A), bool)
-    for d in range(1, J + 1):
-        pd = jnp.pad(p, ((0, 0), (0, d)), constant_values=-2)[:, d:]
-        is_parent = is_parent | (pd == a_ids)
+    # an anchor is a parent iff some anchor's predecessor pointer names
+    # it: one scatter (parents are < J behind, so p in [-1, A))
+    child_on = (p >= 0) & anch_on
+    is_parent = jnp.zeros((Q, A + 1), jnp.int32).at[
+        rows, jnp.where(child_on, p, A)].max(
+        child_on.astype(jnp.int32), mode="drop")[:, :A] > 0
     endm = anch_on & ~is_parent & (v >= st.min_sc)
     MAXI = jnp.int32(0x3FFFFFFF)
     ek1 = jnp.where(endm, MAXI - v, INF32)
@@ -474,15 +503,12 @@ def _post_dp(key1, key2, yq, span_s, f, p, v, peak, kflag,
         ((lam // jnp.maximum(qlen.astype(jnp.int64), 1)) > st.covt)
     proc = qvalid.astype(bool) & (n_kept > 0) & ~capped
 
+    # searchsorted(mp_pos, x0) of the chain's first forward anchor is
+    # its precomputed kept rank (js_s); the rank is in range and its
+    # mp_pos entry matches by construction, so ok_st is always true for
+    # a real chain (host ok_st only guards non-anchor x0 values)
     first_fwd = jnp.where(c_rev == 0, first_idx, pk_idx)
-    yq_ff = gat(yq, first_fwd)
-    span_ff = k32 if span_s is None else gat(span_s, first_fwd)
-    x0 = jnp.where(c_rev == 0, yq_ff,
-                   qlen_b - 1 - (yq_ff + 1 - span_ff))
-    st_i = _row_searchsorted(mp_pos, x0).astype(jnp.int32)
-    st_c = jnp.clip(st_i, 0, M2 - 1)
-    ok_st = (st_i < n_kept[:, None]) & \
-        (jnp.take_along_axis(mp_pos, st_c, axis=1) == x0)
+    st_c = jnp.clip(gat(js_s, first_fwd), 0, M2 - 1)
 
     rl = seq_lens[jnp.clip(c_rid, 0, seq_lens.shape[0] - 1)]
     hang5 = jnp.minimum(qs, rs)
@@ -491,8 +517,8 @@ def _post_dp(key1, key2, yq, span_s, f, p, v, peak, kflag,
     total = span_q + hang5 + hang3
     g_ok, g_near = _geom_ok(span_q, total, st)
     geom = g_ok & (hang5 <= st.max_overhang) & (hang3 <= st.max_overhang)
-    ok = accept & ok_st & geom & proc[:, None]
-    flag_geom = jnp.any(accept & ok_st & g_near & proc[:, None], axis=1)
+    ok = accept & geom & proc[:, None]
+    flag_geom = jnp.any(accept & g_near & proc[:, None], axis=1)
 
     dlen = (qe - qs + 1).astype(jnp.int64)
     lam_new = lam + jnp.sum(jnp.where(ok, dlen, 0), axis=1)
@@ -517,14 +543,10 @@ def _post_dp(key1, key2, yq, span_s, f, p, v, peak, kflag,
     a_good = (mr != INF32) & \
         (jnp.take_along_axis(tbl_good, mr_c, axis=1) == 1)
     a_first = jnp.take_along_axis(tbl_ff, mr_c, axis=1) == a_ids
-    a_rev = (key1 >> 24) & 1
-    span_all = k32 if span_s is None else span_s
-    fq = jnp.where(a_rev == 0, yq, qlen_b - 1 - (yq + 1 - span_all))
-    js = _row_searchsorted(mp_pos, fq).astype(jnp.int32)
-    js_c = jnp.clip(js, 0, M2 - 1)
-    js_ok = (js < n_kept[:, None]) & \
-        (jnp.take_along_axis(mp_pos, js_c, axis=1) == fq)
-    walk = a_good & ~a_first & js_ok & anch_on
+    # per-anchor searchsorted(mp_pos, fq) == the anchor's kept rank
+    # (fq is the anchor's own minimizer position on both strands)
+    js_c = jnp.clip(js_s, 0, M2 - 1)
+    walk = a_good & ~a_first & anch_on
     mc = mc.at[rows, jnp.where(walk, js_c, M2)].add(
         jnp.where(walk, 1, 0), mode="drop")
     flag_sat = jnp.max(mc, axis=1) >= 65535
@@ -606,7 +628,7 @@ def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
     (parallel/mesh.overlap P8 scaling: index replicated, lanes sharded).
     """
     Q = qh.shape[0]
-    (key1, key2, yq, _sp, n_anch, n_q, mp_pos, n_kept,
+    (key1, key2, yq, js_s, _sp, n_anch, n_q, mp_pos, n_kept,
      _ks, _as) = _collect_anchors(
         ih, irid, ips, rid_rank, mid_occ, qh, qpos, qstrand, e_src,
         qlen, qrank, qbisect, st)
@@ -614,7 +636,7 @@ def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
     rbad = jnp.zeros((1, Q), jnp.int32)
     f, p, v, peak, kflag = _run_dp(key1, key2, yq, None, n_anch,
                                    limbs, rbad, st)
-    out = _post_dp(key1, key2, yq, None, f, p, v, peak, kflag,
+    out = _post_dp(key1, key2, yq, js_s, None, f, p, v, peak, kflag,
                    n_anch, n_q, mp_pos, n_kept, seq_lens, qlen, qvalid,
                    n_exp, lam, lam2, avgk_set, m_cnts, st)
     return out[:5]
@@ -633,21 +655,22 @@ def _step_hpc_a(ih, irid, ips, rid_rank, mid_occ, qh, qpos, qstrand,
     (avg_qspan is data-dependent under HPC, sketch.c:90-104). Returns
     device arrays for phase B plus a (Q, 5) stats pull target
     [n_anch, anch_span_sum, n_kept, kept_span_sum, n_q]."""
-    (key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept, kept_ssum,
-     anch_ssum) = _collect_anchors(
+    (key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos, n_kept,
+     kept_ssum, anch_ssum) = _collect_anchors(
         ih, irid, ips, rid_rank, mid_occ, qh, qpos, qstrand, e_src,
         qlen, qrank, qbisect, st, qspan=qspan)
     stats = jnp.stack([n_anch, anch_ssum, n_kept, kept_ssum, n_q],
                       axis=1)
-    return key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept, stats
+    return (key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos, n_kept,
+            stats)
 
 
 @functools.partial(jax.jit, static_argnames=("st",),
                    donate_argnames=("lam", "lam2", "avgk_set",
                                     "avgk_val", "m_cnts"))
-def _step_hpc_b(key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept,
-                seq_lens, qlen, qvalid, n_exp, lam, lam2, avgk_set,
-                avgk_val, m_cnts, limbs, rbad, kept_avg,
+def _step_hpc_b(key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos,
+                n_kept, seq_lens, qlen, qvalid, n_exp, lam, lam2,
+                avgk_set, avgk_val, m_cnts, limbs, rbad, kept_avg,
                 st: StepStatic):
     """HPC step, phase B: chain DP + accounting with per-anchor spans
     and per-row penalty limbs. avgk_val (f32 state) captures the kept-
@@ -656,8 +679,8 @@ def _step_hpc_b(key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept,
     f, p, v, peak, kflag = _run_dp(key1, key2, yq, span_s, n_anch,
                                    limbs, rbad, st)
     (lam_n, lam2_n, avgk_n, mc, packed, proc) = _post_dp(
-        key1, key2, yq, span_s, f, p, v, peak, kflag, n_anch, n_q,
-        mp_pos, n_kept, seq_lens, qlen, qvalid, n_exp, lam, lam2,
+        key1, key2, yq, js_s, span_s, f, p, v, peak, kflag, n_anch,
+        n_q, mp_pos, n_kept, seq_lens, qlen, qvalid, n_exp, lam, lam2,
         avgk_set, m_cnts, st)
     bad = packed[:, 0] != 0
     set_now = proc & (n_kept > 0) & (avgk_set == 0) & ~bad
@@ -1190,7 +1213,12 @@ class DeviceOverlapEngine:
             interpret = not on_tpu
         self.interpret = interpret
         if a_ladder is None:
-            a_ladder = A_LADDER if on_tpu else A_BUCKETS
+            import os
+            env = os.environ.get("LONGQC_A_LADDER")
+            if env:
+                a_ladder = tuple(int(x) for x in env.split(","))
+            else:
+                a_ladder = A_LADDER if on_tpu else A_BUCKETS
         self.a_ladder = tuple(a_ladder)
         if geometry is None:
             geometry = "big" if on_tpu else "small"
@@ -1299,7 +1327,7 @@ class DeviceOverlapEngine:
         """Two-phase HPC step: anchors + span stats on device, per-row
         gap-multiplier fit on host (avg_qspan is data-dependent under
         HPC), then DP + accounting on device."""
-        (key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept,
+        (key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos, n_kept,
          stats) = _step_hpc_a(
             pidx.ih, pidx.irid, pidx.ips, pidx.rid_rank, pidx.mid_occ,
             g.qh, g.qpos, g.qstrand, g.qspan, g.e_src, g.qlen,
@@ -1322,7 +1350,7 @@ class DeviceOverlapEngine:
                     limbs[:, r] = lb
         (g.lam, g.lam2, g.avgk_set, g.avgk_val, g.m_cnts,
          packed) = _step_hpc_b(
-            key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept,
+            key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos, n_kept,
             pidx.seq_lens, g.qlen, qvalid, g.n_exp,
             g.lam, g.lam2, g.avgk_set, g.avgk_val, g.m_cnts,
             jnp.asarray(limbs), jnp.asarray(rbad),
