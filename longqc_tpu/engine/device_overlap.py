@@ -61,14 +61,19 @@ J = 64                 # chain-DP ring depth (ops/chain_pallas)
 CV = 512               # max accepted chains per (row, part) call
 EOUT = 4 * CV          # max emitted interval events per call
 A_BUCKETS = (2048, 8192, 32768, 131072)
-# fixed anchor-capacity ladder for the canonical-shape path: one step
-# program at A_LADDER[0] covers nearly every row; rows flagged F_ANCH
-# retry at the next rung (one extra dispatch) before host fallback.
-# The ladder deliberately stops at 65536: the step program's XLA
-# compile cost explodes superlinearly past that (A=131072 ran >30 min
-# on this backend vs 21 s at A=32768), and an orphaned pathological
-# compile starves every later device->host pull on the tunnel
-A_LADDER = (32768, 65536)
+# anchor-capacity rung ladder for the canonical-shape path. Since
+# round 4 the rung is picked per (part, group) from a cheap device
+# count pass (_count_expanded) BEFORE the step is dispatched, so the
+# step only ever runs at the smallest rung that fits every row —
+# step wall time is linear in A (~40 us per 1024 anchors on the
+# attached v5e), so right-sizing is a ~10x win over always running
+# the top rung. F_ANCH retries remain only as a safety net for a
+# count/step disagreement. The ladder deliberately stops at 65536:
+# the step program's XLA compile cost explodes superlinearly past
+# that (A=131072 ran >30 min on this backend vs 21 s at A=32768),
+# and an orphaned pathological compile starves every later
+# device->host pull on the tunnel
+A_LADDER = (1024, 2048, 4096, 8192, 16384, 32768, 65536)
 # canonical per-part read-count paddings (rid-indexed arrays in the
 # step program); rid packs into 24 bits
 B_PADS = (8192, 1 << 17, 1 << 21, 1 << 24)
@@ -177,6 +182,25 @@ def _group_expand(qcnt, n_slots, *, M2):
     e_src = _row_searchsorted(ccum, j, side="right").astype(jnp.int32)
     e_src = jnp.where(j < n_exp[:, None], e_src, M)
     return e_src, n_exp
+
+
+@jax.jit
+def _count_expanded(ih, qh, qcnt, n_slots, mid_occ):
+    """Per-row expanded-anchor count n_q — the quantity F_ANCH guards —
+    with no A-dimension work: sum over kept minimizer slots of
+    (duplicate multiplicity x index occurrence count). Dispatched ahead
+    of each (part, group) step so the step runs at the smallest anchor
+    rung that fits every row (the reference plays the same pre-sizing
+    trick for m_cnts, minimap2-coverage.c:406-431)."""
+    Q, M = qh.shape
+    left = jnp.searchsorted(ih, qh, side="left").astype(jnp.int64)
+    right = jnp.searchsorted(ih, qh, side="right").astype(jnp.int64)
+    occ = right - left
+    slot_on = jnp.arange(M, dtype=jnp.int32)[None, :] < n_slots[:, None]
+    kept = slot_on & (occ < mid_occ)
+    n_q = jnp.sum(jnp.where(kept, qcnt.astype(jnp.int64) * occ, 0),
+                  axis=1)
+    return jnp.minimum(n_q, jnp.int64(2**31 - 1)).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -725,7 +749,7 @@ def _sharded_step(mesh, st: StepStatic):
     No collectives are needed inside — per-read accumulators are
     shard-local by construction (minimap2-coverage.c:434-444 ownership
     model) and only merge at finalize on host."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     rep = P()
@@ -895,6 +919,10 @@ def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
     # --- query group programs
     for blen in blens:
         M, M2 = blen // 2, blen
+        out.append(("count(%d)" % blen,
+                    _count_expanded.lower(
+                        sds((n_idx,)), sds((lanes, M)), sds((lanes, M)),
+                        sds((lanes,)), sds((), i32))))
         out.append(("sketch(%d)" % blen,
                     sketch_batch.lower(sds((lanes, blen), jnp.uint8),
                                        sds((lanes,)), w=w, k=k)))
@@ -1358,13 +1386,16 @@ class DeviceOverlapEngine:
         self.n_device_calls += 1
         return packed
 
-    def _commit_rows(self, g, want, packed_np, progress):
+    def _commit_rows(self, g, want, packed_np, progress, forced=()):
         """Record interval events for rows of `want` that came back
-        clean; return the rows that still need work."""
+        clean; return the rows that still need work. `forced`: rows
+        whose device update was masked off up front (count pass said
+        they exceed the top anchor rung) — treated as flagged."""
         flags_np = packed_np[:, 0]
         ev_n_np = packed_np[:, 1]
+        forced = set(forced)
         for r in want:
-            if flags_np[r] or g.perm_host[r]:
+            if flags_np[r] or g.perm_host[r] or r in forced:
                 continue
             qi = g.qids[r]
             n = int(ev_n_np[r])
@@ -1373,7 +1404,8 @@ class DeviceOverlapEngine:
                     int(x) for x in packed_np[r, 2:2 + n])
             if progress:
                 progress(qi)
-        return [r for r in want if flags_np[r] or g.perm_host[r]]
+        return [r for r in want
+                if flags_np[r] or g.perm_host[r] or r in forced]
 
     def _run_part(self, pidx, progress):
         """All query groups against one part: dispatch every group's
@@ -1388,8 +1420,12 @@ class DeviceOverlapEngine:
             self.phase_s["host_fix"] += time.time() - t0
             return
 
+        # --- rung pre-sizing: one cheap count program per group, all
+        # dispatched before any pull, so each group's step runs at the
+        # smallest anchor rung that fits every live row (step wall time
+        # is linear in A; see A_LADDER note)
         t0 = time.time()
-        pend = []
+        counts = []
         for g in self.groups:
             qrank = np.full(self.lanes, -1, np.int32)
             qbisect = np.zeros(self.lanes, np.int32)
@@ -1398,23 +1434,56 @@ class DeviceOverlapEngine:
                 qrank[r] = pidx.name_rank.get(qname, -1)
                 if self.cfg.ava:
                     qbisect[r] = bisect_left(pidx.sorted_names, qname)
-            qrank_d = jnp.asarray(qrank)
-            qbisect_d = jnp.asarray(qbisect)
+            cnt = _count_expanded(pidx.ih, g.qh, g.qcnt, g.n_slots,
+                                  pidx.mid_occ)
+            counts.append([g, jnp.asarray(qrank), jnp.asarray(qbisect),
+                           cnt])
+        for c in counts:
+            _async_pull(c[3])
+        self.phase_s["count"] += time.time() - t0
+
+        t0 = time.time()
+        pend = []
+        for g, qrank_d, qbisect_d, cnt in counts:
+            nq = np.asarray(cnt)
+            live = np.zeros(self.lanes, bool)
+            live[:len(g.qids)] = True
+            live &= ~g.perm_host
+            nq_max = int(nq[live].max()) if live.any() else 0
+            rung = next((a for a in self.a_ladder if a >= nq_max), None)
+            forced = []
+            if rung is None:
+                rung = self.a_ladder[-1]
+                forced = [r for r in range(len(g.qids))
+                          if live[r] and nq[r] > rung]
+            qvalid = g.qvalid
+            if forced:
+                qv = np.asarray(g.qvalid).copy()
+                qv[forced] = 0
+                qvalid = jnp.asarray(qv)
             packed = self._step_group(
-                g, pidx, qrank_d, qbisect_d, g.qvalid, self.a_ladder[0])
-            pend.append([g, qrank_d, qbisect_d, packed])
+                g, pidx, qrank_d, qbisect_d, qvalid, rung)
+            pend.append([g, qrank_d, qbisect_d, packed, forced, rung])
         for p in pend:   # overlap the transfers with remaining compute
             _async_pull(p[3])
         self.phase_s["step"] += time.time() - t0
 
-        for g, qrank_d, qbisect_d, packed in pend:
+        for g, qrank_d, qbisect_d, packed, forced, rung in pend:
             t0 = time.time()
             packed_np = np.array(packed)   # writable: retries patch rows
             self.phase_s["pull"] += time.time() - t0
             want = list(range(len(g.qids)))
-            bad = self._commit_rows(g, want, packed_np, progress)
+            bad = self._commit_rows(g, want, packed_np, progress,
+                                    forced=forced)
+            for r in forced:
+                self.flag_counts[F_ANCH] += 1
             flags_np = packed_np[:, 0]
-            for rung in range(1, len(self.a_ladder)):
+            # F_ANCH safety net: the count pass should have sized the
+            # rung so this never fires; escalate past the used rung if
+            # a count/step disagreement ever surfaces
+            rung0 = self.a_ladder.index(rung) if rung in self.a_ladder \
+                else 0
+            for ri in range(rung0 + 1, len(self.a_ladder)):
                 retry = [r for r in bad
                          if (flags_np[r] & F_ANCH) and not g.perm_host[r]]
                 if not retry:
@@ -1424,7 +1493,7 @@ class DeviceOverlapEngine:
                 qv[retry] = 1
                 packed2 = self._step_group(
                     g, pidx, qrank_d, qbisect_d, jnp.asarray(qv),
-                    self.a_ladder[rung])
+                    self.a_ladder[ri])
                 self.n_retry_steps += 1
                 p2 = np.asarray(packed2)
                 for r in retry:

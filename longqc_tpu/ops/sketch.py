@@ -101,7 +101,8 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None,
     reigns only count windows ending in the same segment, the final
     push fires at each segment's last entry, and rules B/C only look
     ahead within the segment. Differentially tested per read against
-    the single-read path (tests/test_sketch_packed.py).
+    the single-read path (tests/test_device_index.py,
+    test_packed_tiles_match_per_read).
 
     Returns dict with (B, L) arrays aligned to buffer-entry positions:
       emit:   per-entry emission count (0 => not a minimizer)

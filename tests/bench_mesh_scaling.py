@@ -16,9 +16,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# the axon sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter start, overriding the JAX_PLATFORMS env
+# var — force CPU here the same way conftest.py does (this is why the
+# r3 bench subprocess found 1 TPU device instead of 8 CPU devices and
+# published nothing)
+jax.config.update("jax_platforms", "cpu")
+
 
 def main():
-    import jax
     import numpy as np
     from longqc_tpu.config import OverlapConfig, IndexOpt, MapOpt, FltOpt
     from longqc_tpu.engine.device_overlap import DeviceOverlapEngine
