@@ -211,14 +211,22 @@ def _unpack1(words, W):
     return (((w32 >> shifts) & 1) != 0).reshape(R, W)
 
 
+def infk(dtype):
+    """Hash sentinel: the dtype's max (INF32 for the i32 fast path,
+    int64 max for the wide-hash path; both sort after every real
+    hash)."""
+    return np.array(np.iinfo(np.dtype(dtype)).max, dtype)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("R", "W", "k", "w", "full_width"))
+                   static_argnames=("R", "W", "k", "w", "full_width",
+                                    "wide"))
 def tile_flat(codes2, nmask, startmask, starts, gids, used, *,
-              R, W, k, w, full_width=False):
+              R, W, k, w, full_width=False, wide=False):
     """Fused per-tile program: unpack -> segment sketch -> flatten with
     read-id mapping -> duplicate expansion -> single-key sort.
 
-    Returns (ih, irid, ips) sorted by hash with INF32 hash sentinels on
+    Returns (ih, irid, ips) sorted by hash with sentinel hashes on
     empty slots (R*M each), n_exp_total, row_overflow (R,) bool
     (a row's emissions exceeded its M slots), exp_overflow scalar.
 
@@ -226,8 +234,13 @@ def tile_flat(codes2, nmask, startmask, starts, gids, used, *,
     adversarial periodic rows); full_width (M = W) is the stage-2
     fallback for rows that overflowed — emissions per row can never
     exceed W, so stage-2 row overflow is impossible.
+
+    wide: hashes ride int64 lanes (2k > 30, e.g. the pb-hifi fast
+    preset's k = 19; bare u64 sketch hashes < 2^2k cast losslessly).
     """
     M = W if full_width else W // 2
+    hdt = jnp.int64 if wide else jnp.int32
+    INFH = infk(np.int64 if wide else np.int32)
     codes = _unpack2(codes2, W)
     amb = _unpack1(nmask, W)
     startb = _unpack1(startmask, W)
@@ -255,12 +268,15 @@ def tile_flat(codes2, nmask, startmask, starts, gids, used, *,
     rid = jnp.take_along_axis(gids, seg_e, axis=1)
     rstart = jnp.take_along_axis(starts, seg_e, axis=1)
     local = take(pos.astype(jnp.int32)) - rstart
-    h = jnp.where(slot_on & (rid >= 0),
-                  take(hsh.astype(jnp.uint32).astype(jnp.int32)), INF32)
+    if wide:
+        h_take = take(hsh).astype(jnp.int64)
+    else:
+        h_take = take(hsh.astype(jnp.uint32).astype(jnp.int32))
+    h = jnp.where(slot_on & (rid >= 0), h_take, INFH)
     rids = jnp.where(slot_on, jnp.maximum(rid, 0), 0)
     ps = jnp.where(slot_on, (local << 1) | take(strand.astype(jnp.int32)),
                    0)
-    cnt = jnp.where(h != INF32, take(emit.astype(jnp.int32)), 0)
+    cnt = jnp.where(h != INFH, take(emit.astype(jnp.int32)), 0)
     row_overflow = n > M
 
     # duplicate expansion in flat slot order (emissions with cnt > 1)
@@ -277,7 +293,7 @@ def tile_flat(codes2, nmask, startmask, starts, gids, used, *,
         jnp.where(cf > 0, wstart, N)].max(posf, mode="drop")
     src = jax.lax.associative_scan(jnp.maximum, seed)
     on = posf < n_exp_total
-    eh = jnp.where(on, hf[src], INF32)
+    eh = jnp.where(on, hf[src], INFH)
     er = jnp.where(on, rf[src], 0)
     ep = jnp.where(on, pf[src], 0)
     exp_overflow = n_exp_total > N
@@ -322,7 +338,7 @@ def merge_sorted(ka, pa1, pa2, kb, pb1, pb2, *, n):
 @functools.partial(jax.jit, static_argnames=("n_out",))
 def pad_to(ka, pa1, pa2, *, n_out):
     n = ka.shape[0]
-    fill = jnp.full((n_out - n,), INF32, jnp.int32)
+    fill = jnp.full((n_out - n,), infk(ka.dtype), ka.dtype)
     zero = jnp.zeros((n_out - n,), jnp.int32)
     return (jnp.concatenate([ka, fill]),
             jnp.concatenate([pa1, zero]),
@@ -330,24 +346,39 @@ def pad_to(ka, pa1, pa2, *, n_out):
 
 
 @jax.jit
+def sort_index(eh, er, ep):
+    """Single-key sort of the concatenated (hash, rid, pos) chunks at
+    the canonical index width. XLA's sort is fast on the attached chip
+    (sub-ms at 2M slots, ~35 ms at 4M), far cheaper than the
+    merge-path gather tree it replaced (1.26 s for a 1M+1M merge)."""
+    return jax.lax.sort((eh, er, ep), dimension=0, num_keys=1,
+                        is_stable=False)
+
+
+@jax.jit
 def index_runlens(ih):
     """Per-key occurrence runs on the sorted hash array: returns
     (is_start, run_len, n_keys). run_len is nonzero only at run starts.
 
-    Run lengths come from a self-searchsorted (right bound minus own
-    position at each run start) rather than a reverse associative scan:
-    the scan's XLA compile is pathological at canonical widths on the
-    attached backend (238 s at 2M slots, wedged at 16M) while the
-    binary-search gather loop compiles in ~1 s. INF32 padding sorts
-    after every real hash (hashes are < 2^31 - 1), so the right bound
-    of the last run lands at n_valid."""
+    Run lengths come from a forward run-start fill plus one scatter-max
+    of each slot's position into its run start (right bound minus start
+    position). Cheaper than both rejected alternatives on the attached
+    backend: the reverse associative scan (pathological compile: 238 s
+    at 2M slots, wedged at 16M) and the self-searchsorted (lowers to a
+    ~360 ms/call while loop at 2M). Sentinel padding sorts after every
+    real hash, so it never opens a run."""
     N = ih.shape[0]
+    INFH = infk(ih.dtype)
     idx = jnp.arange(N, dtype=jnp.int32)
-    valid = ih != INF32
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ih[:-1]])
+    valid = ih != INFH
+    prev = jnp.concatenate(
+        [jnp.full((1,), -1, ih.dtype), ih[:-1]])
     is_start = valid & (ih != prev)
     n_keys = jnp.sum(is_start).astype(jnp.int32)
-    right = jnp.searchsorted(ih, ih, side="right").astype(jnp.int32)
+    start_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, idx, -1))
+    right = jnp.zeros((N,), jnp.int32).at[
+        jnp.where(valid, start_pos, N)].max(idx + 1, mode="drop")
     run_len = jnp.where(is_start, right - idx, 0)
     return is_start, run_len, n_keys
 
@@ -395,33 +426,19 @@ def _run_tile(t, k, w, full_width=False):
         jnp.asarray(t.codes2), jnp.asarray(t.nmask),
         jnp.asarray(t.startmask), jnp.asarray(t.starts),
         jnp.asarray(t.gids), jnp.asarray(t.used),
-        R=t.R, W=t.W, k=k, w=w, full_width=full_width)
+        R=t.R, W=t.W, k=k, w=w, full_width=full_width,
+        wide=2 * k > 30)
 
 
 def _merge_chunks(chunks, n_idx_sizes):
-    """Merge equal-sized sorted chunks pairwise (merge-path); promote
-    lone chunks upward by INF-padding (a padded chunk stays sorted);
-    pad the survivor to the canonical index width."""
-    by_size = {}
-    for c in chunks:
-        by_size.setdefault(c[0].shape[0], []).append(c)
-    while True:
-        sizes = sorted(by_size)
-        if len(sizes) == 1 and len(by_size[sizes[0]]) == 1:
-            break
-        n = sizes[0]
-        lst = by_size.pop(n)
-        nxt = []
-        while len(lst) >= 2:
-            a, b = lst.pop(), lst.pop()
-            nxt.append(list(merge_sorted(*a, *b, n=n)))
-        if lst:
-            nxt.append(list(pad_to(*lst[0], n_out=2 * n)))
-        by_size.setdefault(2 * n, []).extend(nxt)
-    (final,) = by_size[sorted(by_size)[0]]
-
-    n_real = final[0].shape[0]
-    n_idx = next((s for s in n_idx_sizes if n_real <= s), None)
+    """Combine the tiles' flat (hash, rid, pos) chunks into one sorted
+    canonical-width index: concatenate, sentinel-pad to the smallest
+    fitting canonical width, sort once (sort_index). Replaces the
+    round-3 pairwise merge-path tree — XLA's sort beats the gather
+    merges by ~40x at the 2M width on the attached chip, and the only
+    compile-expensive program is the one canonical-width sort."""
+    n_slots = sum(int(c[0].shape[0]) for c in chunks)
+    n_idx = next((s for s in n_idx_sizes if n_slots <= s), None)
     if n_idx is None:
         # part larger than the canonical index width (~48 Mbp of target
         # sequence at the production geometry): the caller falls back
@@ -429,8 +446,17 @@ def _merge_chunks(chunks, n_idx_sizes):
         # note; reference parts are bounded by -I, longQC.py:222-231)
         raise IndexOverflowError(
             "part exceeds the largest canonical index size")
-    if n_real < n_idx:
-        final = list(pad_to(*final, n_out=n_idx))
+    dt = chunks[0][0].dtype
+    ehs = [c[0] for c in chunks]
+    ers = [c[1] for c in chunks]
+    eps = [c[2] for c in chunks]
+    if n_slots < n_idx:
+        pad = n_idx - n_slots
+        ehs.append(jnp.full((pad,), infk(dt), dt))
+        ers.append(jnp.zeros((pad,), jnp.int32))
+        eps.append(jnp.zeros((pad,), jnp.int32))
+    final = list(sort_index(jnp.concatenate(ehs), jnp.concatenate(ers),
+                            jnp.concatenate(eps)))
     return final, n_idx
 
 

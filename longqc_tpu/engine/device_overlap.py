@@ -191,16 +191,27 @@ def _count_expanded(ih, qh, qcnt, n_slots, mid_occ):
     (duplicate multiplicity x index occurrence count). Dispatched ahead
     of each (part, group) step so the step runs at the smallest anchor
     rung that fits every row (the reference plays the same pre-sizing
-    trick for m_cnts, minimap2-coverage.c:406-431)."""
+    trick for m_cnts, minimap2-coverage.c:406-431).
+
+    All arithmetic stays int32 (i64 emulation triples the call cost on
+    the attached chip): per-slot contributions saturate at 65535, which
+    keeps the row sum below 2^31 for every length bucket (M <= 2^15)
+    and preserves the only decision the caller makes — picking the
+    smallest rung >= n_q. An underestimate from saturation at most
+    sends a pathological row through the F_ANCH safety net to the
+    exact host fallback."""
     Q, M = qh.shape
-    left = jnp.searchsorted(ih, qh, side="left").astype(jnp.int64)
-    right = jnp.searchsorted(ih, qh, side="right").astype(jnp.int64)
+    CAP = jnp.int32(65535)
+    HALF = jnp.int32(1 << 15)
+    left = jnp.searchsorted(ih, qh, side="left").astype(jnp.int32)
+    right = jnp.searchsorted(ih, qh, side="right").astype(jnp.int32)
     occ = right - left
     slot_on = jnp.arange(M, dtype=jnp.int32)[None, :] < n_slots[:, None]
     kept = slot_on & (occ < mid_occ)
-    n_q = jnp.sum(jnp.where(kept, qcnt.astype(jnp.int64) * occ, 0),
-                  axis=1)
-    return jnp.minimum(n_q, jnp.int64(2**31 - 1)).astype(jnp.int32)
+    sat = (occ > HALF) | (qcnt > HALF)
+    prod = jnp.minimum(occ, HALF) * jnp.minimum(qcnt, HALF)  # <= 2^30
+    contrib = jnp.where(sat, CAP, jnp.minimum(prod, CAP))
+    return jnp.sum(jnp.where(kept, contrib, 0), axis=1).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -762,7 +773,7 @@ def _sharded_step(mesh, st: StepStatic):
     out_specs = (lane1, lane1, lane1, lane2, lane2)
     fn = shard_map(functools.partial(_step_impl, st=st), mesh=mesh,
                    in_specs=in_specs, out_specs=out_specs,
-                   check_rep=False)
+                   check_vma=False)
     return jax.jit(fn)
 
 
@@ -805,7 +816,9 @@ def _group_valid(n_slots, n_exp, *, M, M2, n_real):
 @functools.partial(jax.jit, static_argnames=("M",))
 def _compact_sketch(emit, hsh, pos, strand, *, M):
     """Per-row compaction of the sketch kernel's (B, L) output into the
-    first M emitting slots (position order), i32-sanitized."""
+    first M emitting slots (position order). u32 sketch hashes compact
+    to i32 lanes; bare u64 wide hashes (2k > 30) to i64 lanes with the
+    matching sentinel (the device index carries the same dtype)."""
     B, L = emit.shape
     has = emit > 0
     posl = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :],
@@ -814,9 +827,13 @@ def _compact_sketch(emit, hsh, pos, strand, *, M):
     n = jnp.sum(has, axis=1).astype(jnp.int32)
     slot_on = jnp.arange(M, dtype=jnp.int32)[None, :] < \
         jnp.minimum(n, M)[:, None]
-    qh = jnp.take_along_axis(
-        hsh.astype(jnp.uint32).astype(jnp.int32), order, axis=1)
-    qh = jnp.where(slot_on, qh, INF32)
+    if hsh.dtype == jnp.uint64:
+        qh = jnp.take_along_axis(hsh.astype(jnp.int64), order, axis=1)
+        qh = jnp.where(slot_on, qh, di.infk(np.int64))
+    else:
+        qh = jnp.take_along_axis(
+            hsh.astype(jnp.uint32).astype(jnp.int32), order, axis=1)
+        qh = jnp.where(slot_on, qh, INF32)
     qpos = jnp.where(slot_on,
                      jnp.take_along_axis(pos.astype(jnp.int32), order,
                                          axis=1), 0)
@@ -862,6 +879,9 @@ def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
     k, w = cfg.index.k, cfg.index.w
 
     i32, u32 = jnp.int32, jnp.uint32
+    wide = 2 * k > 30
+    hdt = jnp.int64 if wide else i32       # hash lane dtype
+    sdt = jnp.uint64 if wide else u32      # sketch hash dtype
 
     def sds(shape, dtype=i32):
         return jax.ShapeDtypeStruct(shape, dtype)
@@ -876,16 +896,20 @@ def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
                 out.append((
                     "step(blen=%d,A=%d,Bp=%d)" % (blen, A, Bp),
                     _step.lower(
-                        sds((n_idx,)), sds((n_idx,)), sds((n_idx,)),
+                        sds((n_idx,), hdt), sds((n_idx,)),
+                        sds((n_idx,)),
                         sds((Bp,)), sds((Bp,)), sds((), i32),
-                        sds((lanes, M)), sds((lanes, M)),
+                        sds((lanes, M), hdt), sds((lanes, M)),
                         sds((lanes, M)), sds((lanes, M2)),
                         sds((lanes,)), sds((lanes,)), sds((lanes,)),
                         sds((lanes,)), sds((lanes,)),
                         sds((lanes,), jnp.int64),
                         sds((lanes,), jnp.int64), sds((lanes,)),
                         sds((lanes, M2)), sds((5,)), st=st)))
-    # --- index build chain
+    # --- index build chain. Every program in this list must be
+    # individually vetted for compile cost on the backend, because one
+    # pathological compile starves every device->host pull behind it
+    # (the step at A=131072 is known-pathological)
     for (R, W) in ladder:
         out.append((
             "tile_flat(%d,%d)" % (R, W),
@@ -893,26 +917,12 @@ def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
                 sds((R, W // 16), u32), sds((R, W // 32), u32),
                 sds((R, W // 32), u32), sds((R, di.READS_PER_ROW)),
                 sds((R, di.READS_PER_ROW)), sds((R,)),
-                R=R, W=W, k=k, w=w)))
-    # only the first merge level (a <= 2-chunk part needs nothing
-    # more); deeper levels compile lazily. Every program in this
-    # list must be individually vetted for compile cost on the
-    # backend, because one pathological compile starves every
-    # device->host pull behind it (merge at >= 4M slots and the
-    # step at A=131072 are known-pathological)
-    T = ladder[0][0] * ladder[0][1] // 2
-    if T < n_idx:
-        out.append(("merge(%d)" % T,
-                    di.merge_sorted.lower(*([sds((T,))] * 6), n=T)))
-        out.append(("pad(%d->%d)" % (T, n_idx),
-                    di.pad_to.lower(*([sds((T,))] * 3),
-                                    n_out=n_idx)))
-        if 2 * T < n_idx:
-            out.append(("pad(%d->%d)" % (2 * T, n_idx),
-                        di.pad_to.lower(*([sds((2 * T,))] * 3),
-                                        n_out=n_idx)))
+                R=R, W=W, k=k, w=w, wide=wide)))
+    out.append(("sort_index(%d)" % n_idx,
+                di.sort_index.lower(sds((n_idx,), hdt), sds((n_idx,)),
+                                    sds((n_idx,)))))
     out.append(("runlens(%d)" % n_idx,
-                di.index_runlens.lower(sds((n_idx,)))))
+                di.index_runlens.lower(sds((n_idx,), hdt))))
     out.append(("kth_runlen(%d)" % n_idx,
                 di.kth_runlen.lower(sds((n_idx,), jnp.bool_),
                                     sds((n_idx,)), sds((), i32))))
@@ -921,14 +931,15 @@ def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
         M, M2 = blen // 2, blen
         out.append(("count(%d)" % blen,
                     _count_expanded.lower(
-                        sds((n_idx,)), sds((lanes, M)), sds((lanes, M)),
+                        sds((n_idx,), hdt), sds((lanes, M), hdt),
+                        sds((lanes, M)),
                         sds((lanes,)), sds((), i32))))
         out.append(("sketch(%d)" % blen,
                     sketch_batch.lower(sds((lanes, blen), jnp.uint8),
                                        sds((lanes,)), w=w, k=k)))
         out.append(("compact(%d)" % blen,
                     _compact_sketch.lower(
-                        sds((lanes, blen)), sds((lanes, blen), u32),
+                        sds((lanes, blen)), sds((lanes, blen), sdt),
                         sds((lanes, blen)), sds((lanes, blen)),
                         M=M)))
         out.append(("expand(%d)" % blen,
@@ -1214,12 +1225,14 @@ class DeviceOverlapEngine:
         geometry: "big"/"small" tile+index canonical shapes
         (device_index.TILE_LADDER[_SMALL]); default big on TPU.
         """
-        if 2 * cfg.index.k > 30:
-            # the device index and group sketch carry hashes in int32
-            # lanes (ops/sketch u32 fast path); k > 15 would truncate
-            raise NotImplementedError(
-                "device engine requires 2k <= 30 (u32 minimizer hash)")
+        self.wide = 2 * cfg.index.k > 30
         self.hpc = cfg.index.is_hpc
+        if self.hpc and self.wide:
+            # HPC packs hash<<8|span into i32 index lanes (k <= 15);
+            # every reference HPC surface (spike-in filter, pb-hifi
+            # main run) uses k = 15, so wide+HPC has no caller
+            raise NotImplementedError("HPC device engine requires "
+                                      "k <= 15")
         if self.hpc and mesh is not None:
             raise NotImplementedError(
                 "HPC sketch is single-device (filter runs are small)")

@@ -196,10 +196,13 @@ def overlap_run_device(target_iter, query_reads, cfg: OverlapConfig,
     """Device-path overlap run -> 9-column TSV rows.
 
     Dispatches to the device-resident engine (engine/device_overlap,
-    the flagship hot path) for every config with 2k <= 30, including
-    HPC-sketch runs (the spike-in --filter, pb-hifi); configs the
-    device engine cannot serve exactly (k > 15) use the round-1
-    batched-chainer path. Override with LONGQC_OVERLAP_ENGINE=v1|v2.
+    the flagship hot path) for every supported config: 2k <= 30 runs
+    carry i32 hash lanes, k up to 28 (pb-hifi fast, -k 19 -w 10,
+    longQC.py:222-231) carries i64 wide-hash lanes, and HPC-sketch
+    runs (the spike-in --filter, pb-hifi) use the packed-key path.
+    Only configs the device engine rejects (HPC with k > 15 — no
+    reference surface) fall back to the round-1 batched-chainer path.
+    Override with LONGQC_OVERLAP_ENGINE=v1|v2.
 
     parts: pre-grouped part read-lists (the -d prefetch path).
     index_cache: npz path prefix for host-index persistence (only the

@@ -150,9 +150,9 @@ def sketch_reads_device(reads, k, w, batch_size=128):
                 # buffer: fall back to the full-width output
                 res = sketch_batch(np.asarray(batch.codes),
                                    np.asarray(batch.lengths), w=w, k=k)
-                lists = sketch_to_lists(res, k)
+                lists = sketch_to_lists(res, k, packed=False)
             else:
-                lists = compact_to_lists(res, k)
+                lists = compact_to_lists(res, k, packed=False)
             for slot, i in enumerate(sel):
                 out[i] = lists[slot]
     return out

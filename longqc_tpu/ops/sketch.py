@@ -53,6 +53,17 @@ def hash64(key, mask):
     return key
 
 
+def _shift_left(a, d, fill):
+    """a'[..., i] = a[..., i+d], filling the right edge: a pure
+    pad+slice. Replaces clipped-index take_along_axis gathers for
+    constant-offset lookups — the general gather is ~10x slower on the
+    attached TPU backend, and rules B/C only ever look ahead by a
+    static offset (every out-of-range lane is masked by the caller)."""
+    if d == 0:
+        return a
+    return jnp.pad(a, ((0, 0), (0, d)), constant_values=fill)[:, d:]
+
+
 def _sliding_rightmost_min(x, w):
     """For each s: (value, index) of the rightmost minimum over the
     window [s-w+1, s] (out-of-range treated as +inf).
@@ -200,9 +211,12 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None,
 
     if positions is not None:
         rpos = positions.astype(jnp.int32)
-    if use_u32:
+    if spans is None:
         # constant span (== k): ordering by bare hash equals ordering
-        # by the packed key, so no packing is needed
+        # by the packed key, so no packing is needed. This covers both
+        # the u32 fast path (2k <= 30) and the plain wide-hash path
+        # (k up to 28, e.g. the pb-hifi fast preset's k = 19), whose
+        # bare u64 hashes downstream consumers carry as int64 lanes.
         eligible = valid & (l_r >= k)
         packed_r = hash_r
     else:
@@ -276,26 +290,25 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None,
     is_t0 = (ls == w + k - 1) & sspace
 
     for d in range(1, w):
-        # B: t0 = p + d
-        t0 = jnp.clip(sarange + d, 0, L - 1)
+        # B: t0 = p + d. All look-aheads are constant shifts (pad+slice
+        # via _shift_left, not gathers); every lane whose shifted read
+        # ran off the row is masked by valid_off below.
         valid_off = (sarange + d) < n_s
         if seg_s is not None:
             # look-ahead stays within p's segment (standalone machines
             # have no windows past their own last entry)
             valid_off = valid_off & \
-                (jnp.take_along_axis(seg_s, t0, axis=1) == seg_s)
-        t0m1 = jnp.clip(t0 - 1, 0, L - 1)
-        b_hit = (jnp.take_along_axis(is_t0, t0, axis=1)
-                 & (xs == jnp.take_along_axis(wx, t0m1, axis=1))
-                 & (jnp.take_along_axis(widx, t0m1, axis=1) != sarange)
+                (_shift_left(seg_s, d, 1 << 30) == seg_s)
+        b_hit = (_shift_left(is_t0, d, False)
+                 & (xs == _shift_left(wx, d - 1, pad_max))
+                 & (_shift_left(widx, d - 1, -1) != sarange)
                  & (xs != UMAX) & valid_off)
         countB = countB + b_hit.astype(jnp.int32)
         # C: s = p + d
-        s_ = t0
-        c_hit = (jnp.take_along_axis(disp_step, s_, axis=1)
-                 & (jnp.take_along_axis(ls, s_, axis=1) >= w + k - 1)
-                 & (xs == jnp.take_along_axis(wx, s_, axis=1))
-                 & (jnp.take_along_axis(widx, s_, axis=1) != sarange)
+        c_hit = (_shift_left(disp_step, d, False)
+                 & (_shift_left(ls, d, 0) >= w + k - 1)
+                 & (xs == _shift_left(wx, d, pad_max))
+                 & (_shift_left(widx, d, -1) != sarange)
                  & (xs != UMAX) & valid_off)
         countC = countC + c_hit.astype(jnp.int32)
 
@@ -312,18 +325,22 @@ def _sketch_core(codes, lengths, *, w, k, positions=None, spans=None,
     return out
 
 
-def sketch_to_lists(res, k=None):
+def sketch_to_lists(res, k=None, packed=None):
     """Host-side compaction of sketch_batch output into per-read
     (hash, pos, strand, span) numpy arrays in position order with
-    multiplicity. The u32 fast path stores bare hashes (span == k,
-    required as an argument); the u64/HPC path stores hash<<8|span."""
+    multiplicity. Plain-mode output stores bare hashes (span == k,
+    required as an argument) — u32 for 2k <= 30, u64 for wide k; the
+    HPC path stores packed u64 hash<<8|span. `packed` disambiguates
+    the wide-plain case (bare u64); default infers from dtype, which
+    is only correct for 2k <= 30 and HPC callers."""
     emit = np.asarray(res["emit"])
     hsh = np.asarray(res["hash"])
     pos = np.asarray(res["pos"])
     strand = np.asarray(res["strand"])
-    packed = hsh.dtype == np.uint64
+    if packed is None:
+        packed = hsh.dtype == np.uint64
     if not packed:
-        assert k is not None, "u32 sketch output needs k for spans"
+        assert k is not None, "bare-hash sketch output needs k for spans"
     out = []
     for b in range(emit.shape[0]):
         idx = np.nonzero(emit[b] > 0)[0]
@@ -387,15 +404,17 @@ def sketch_batch_compact(codes, lengths, *, w, k, m_max,
     }
 
 
-def compact_to_lists(res, k=None):
+def compact_to_lists(res, k=None, packed=None):
     """Host expansion of sketch_batch_compact output into per-read
-    (hash, pos, strand, span) arrays (sketch_to_lists contract)."""
+    (hash, pos, strand, span) arrays (sketch_to_lists contract;
+    `packed` as there)."""
     keys = np.asarray(res["keys"])
     meta = np.asarray(res["meta"])
     n_slots = np.asarray(res["n_slots"])
-    packed = keys.dtype == np.uint64
+    if packed is None:
+        packed = keys.dtype == np.uint64
     if not packed:
-        assert k is not None, "u32 sketch output needs k for spans"
+        assert k is not None, "bare-hash sketch output needs k for spans"
     out = []
     for b in range(keys.shape[0]):
         n = int(n_slots[b])

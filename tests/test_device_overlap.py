@@ -103,9 +103,10 @@ def test_geom_ok_exact_f64_semantics():
             assert np.array_equal(np.asarray(got), want), ratio
 
 
-def test_device2_big_k_unsupported():
-    # k > 15 would truncate hashes in the int32 index lanes
-    cfg = OverlapConfig(index=IndexOpt(k=19, w=10),
+def test_device2_hpc_big_k_unsupported():
+    # the HPC path packs hash<<8|span into i32 index lanes (k <= 15);
+    # no reference surface combines HPC with k > 15
+    cfg = OverlapConfig(index=IndexOpt(k=19, w=10, is_hpc=True),
                         map=MapOpt(), flt=FltOpt())
     with pytest.raises(NotImplementedError):
         DeviceOverlapEngine(cfg, [["q", "ACGT" * 100, ""]])
@@ -146,3 +147,39 @@ def test_device2_hpc_ava_rows_match_host():
     eng = DeviceOverlapEngine(cfg, queries)
     rows_dev = eng.run(list(reads))
     assert rows_dev == rows_host
+
+
+def test_device2_wide_hash_k19_rows_match_host():
+    """pb-hifi fast preset geometry (-k 19 -w 10, longQC.py:222-231):
+    wide hashes ride i64 lanes through the device index, count pass
+    and step; rows stay identical to the host spec."""
+    rng = np.random.RandomState(11)
+    genome = make_genome(rng, 30000)
+    reads = sample_reads(rng, genome, 120, min_len=900, max_len=2600,
+                         err=0.04, junk_frac=0.05)
+    queries = reads[:40]
+    cfg = OverlapConfig(index=IndexOpt(k=19, w=10),
+                        map=MapOpt(min_score_med=80,
+                                   min_score_good=160),
+                        flt=FltOpt(min_ovlp=0))
+    rows_host = oh.overlap_run(list(reads), queries, cfg)
+    eng = DeviceOverlapEngine(cfg, queries)
+    rows_dev = eng.run(list(reads))
+    assert rows_dev == rows_host
+
+
+def test_device2_wide_hash_multipart():
+    rng = np.random.RandomState(41)
+    genome = make_genome(rng, 24000)
+    reads = sample_reads(rng, genome, 140, min_len=700, max_len=2000,
+                         err=0.08, junk_frac=0.1)
+    queries = reads[:24]
+    cfg = OverlapConfig(index=IndexOpt(k=19, w=10, batch_size=60_000),
+                        map=MapOpt(min_score_med=80,
+                                   min_score_good=160),
+                        flt=FltOpt(min_ovlp=0))
+    rows_host = oh.overlap_run(list(reads), queries, cfg)
+    eng = DeviceOverlapEngine(cfg, queries)
+    rows_dev = eng.run(list(reads))
+    assert rows_dev == rows_host
+    assert eng.n_device_calls >= 2
