@@ -1,34 +1,37 @@
 """Benchmark: overlap-sampling throughput vs the reference CPU binary.
 
-Generates a deterministic synthetic long-read dataset, runs the
-TPU-native overlap-coverage engine (the sampleqc hot path: sketch ->
-index -> seed lookup -> chain DP -> coverage accounting), times it, and
-compares with the reference minimap2-coverage binary on the same input
-(compiled from the read-only reference checkout; rows also cross-checked
-for bit-identity).
+Generates deterministic synthetic long-read datasets at two scales,
+runs the TPU-native overlap-coverage engine (the sampleqc hot path:
+sketch -> index -> seed lookup -> chain DP -> coverage accounting),
+times it, and compares with the reference minimap2-coverage binary on
+the same input (compiled from the read-only reference checkout; rows
+also cross-checked for bit-identity).
+
+Scales (VERDICT r3 item 2 — publish a scale curve, amortize fixed
+costs):
+  base   1,500 targets / 250 queries / 0.4 Mb genome  (r3 continuity)
+  large  10,000 targets / 1,000 queries / 20 Mb genome
+The headline metric/vs_baseline is the LARGE point; per-scale details
+land under RESULT["scales"].
 
 Budget discipline (the round-2 bench timed out and published nothing —
 never again): a watchdog thread prints the best-so-far JSON line and
 exits the process at BENCH_BUDGET_S (default 480 s). Every section
 updates the shared RESULT dict incrementally and is individually
 try/except-guarded, so whatever has been measured by the deadline is
-what gets published. Section order = value order: reference baseline
-first (cheap, CPU), then engine warm-up + timed runs, then the optional
-extras (adversarial fallback probe, extension-kernel roofline numbers,
-virtual-mesh scaling table).
+what gets published.
 
 Methodology notes (recorded in the JSON):
 - the reference runs with -t <all cores of this box>; BASELINE.md's
   north star denominator is a 16-core host, so `baseline_cores` states
   what was actually used.
-- `warmup_s` is the first full-workload pass (compile + execute);
-  compiled programs land in the persistent cache under .cache/jaxcomp
-  and are reused across processes. `cache_hits`/`cache_misses` report
-  how much of the warm-up was served from disk.
+- `warmup_s` is each scale's first full-workload pass (compile +
+  execute); compiled programs land in the persistent cache under
+  .cache/jaxcomp and are reused across processes.
 - host-fallback accounting (chain-kernel flags, exact-geometry flags)
-  is reported for the standard workload and for an adversarial
-  repeat-rich/low-complexity set; the device path is only honest if
-  these stay near zero.
+  is reported per scale and for an adversarial repeat-rich /
+  low-complexity set; the device path is only honest if these stay
+  near zero.
 
 Prints one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -48,9 +51,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "tests"))
 
-N_TARGET = int(os.environ.get("BENCH_N_TARGET", "1500"))
-N_QUERY = int(os.environ.get("BENCH_N_QUERY", "250"))
-GENOME = int(os.environ.get("BENCH_GENOME", "400000"))
+SCALES = {
+    "base": dict(n_target=int(os.environ.get("BENCH_N_TARGET", "1500")),
+                 n_query=int(os.environ.get("BENCH_N_QUERY", "250")),
+                 genome=int(os.environ.get("BENCH_GENOME", "400000")),
+                 seed=1234),
+    "large": dict(n_target=int(os.environ.get("BENCH_N_TARGET_L", "10000")),
+                  n_query=int(os.environ.get("BENCH_N_QUERY_L", "1000")),
+                  genome=int(os.environ.get("BENCH_GENOME_L", "20000000")),
+                  seed=4321),
+}
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
 
 REF_SRC = "/root/reference/minimap2-coverage"
@@ -58,10 +68,11 @@ BUILD_DIR = "/tmp/ref-mm2cov"
 
 T0 = time.time()
 RESULT = {
-    "metric": "overlap-sampled target reads/s (1 chip)",
+    "metric": "overlap-sampled target reads/s (1 chip, large scale)",
     "value": 0.0,
     "unit": "reads/s",
     "vs_baseline": 0.0,
+    "scales": {},
 }
 _PRINTED = threading.Event()
 _LOCK = threading.Lock()
@@ -130,6 +141,93 @@ def n_cache_entries():
         return 0
 
 
+def gen_data(spec):
+    from util_synth import make_genome, sample_reads
+
+    rng = np.random.RandomState(spec["seed"])
+    genome = make_genome(rng, spec["genome"])
+    reads = sample_reads(rng, genome, spec["n_target"], min_len=800,
+                         max_len=2500, err=0.12, junk_frac=0.1)
+    return reads, reads[:spec["n_query"]]
+
+
+def run_reference(exe, reads, queries, tag):
+    from util_synth import write_fastq_file
+
+    tmp = "/tmp/longqc_bench_%s" % tag
+    os.makedirs(tmp, exist_ok=True)
+    tfq = os.path.join(tmp, "target.fq")
+    qfq = os.path.join(tmp, "query.fq")
+    write_fastq_file(tfq, reads)
+    write_fastq_file(qfq, queries)
+    ncpu = os.cpu_count() or 1
+    t0 = time.time()
+    with open(os.path.join(tmp, "ref_out.txt"), "w") as fo:
+        subprocess.run(
+            [exe, "-Y", "-l", "0", "-q", "160", "-p", "80", "-k", "12",
+             "-w", "5", "-t", str(ncpu), tfq, qfq],
+            stdout=fo, stderr=subprocess.DEVNULL, check=True)
+    wall = time.time() - t0
+    with open(os.path.join(tmp, "ref_out.txt")) as f:
+        rows = [ln.rstrip("\n") for ln in f if ln.strip()]
+    return wall, rows
+
+
+def bench_scale(name, reads, queries, cfg, exe, n_timed=2):
+    from util_synth import write_fastq_file  # noqa: F401  (env parity)
+
+    S = {"n_target": len(reads), "n_query": len(queries),
+         "mbp": round(sum(len(r[1]) for r in reads) / 1e6, 1)}
+    RESULT["scales"][name] = S
+    ref_rows = None
+    if exe is not None:
+        ref_wall, ref_rows = run_reference(exe, reads, queries, name)
+        S["ref_wall_s"] = round(ref_wall, 3)
+        S["ref_reads_per_s"] = round(len(reads) / ref_wall, 1)
+        log("%s reference: %.2fs (%.0f reads/s)"
+            % (name, ref_wall, len(reads) / ref_wall))
+
+    cache_before = n_cache_entries()
+    t0 = time.time()
+    rows, eng = run_engine(reads, queries, cfg)
+    S["warmup_s"] = round(time.time() - t0, 1)
+    S["cache_misses"] = n_cache_entries() - cache_before
+    log("%s warm-up: %.1fs (%d new cache entries)"
+        % (name, S["warmup_s"], S["cache_misses"]))
+
+    if ref_rows is not None:
+        mism = sum(1 for a, b in zip(rows, ref_rows) if a != b)
+        mism += abs(len(rows) - len(ref_rows))
+        S["rows_identical_to_reference"] = (mism == 0)
+        if mism:
+            log("%s WARNING: %d/%d rows differ from reference"
+                % (name, mism, len(rows)))
+
+    best = None
+    for i in range(n_timed):
+        if left() < 20:
+            break
+        t0 = time.time()
+        _, eng = run_engine(reads, queries, cfg)
+        wall = time.time() - t0
+        if best is None or wall < best:
+            best = wall
+            S["tpu_wall_s"] = round(wall, 3)
+            S["reads_per_s"] = round(len(reads) / wall, 1)
+            S["phase_s"] = {k: round(v, 3) for k, v in
+                            sorted(eng.phase_s.items())}
+            S["host_fallback_rows"] = eng.n_host_fallback
+            S["flag_counts"] = {str(k): v for k, v in
+                                sorted(eng.flag_counts.items())}
+            S["device_calls"] = eng.n_device_calls
+            if "ref_wall_s" in S:
+                S["vs_baseline"] = round(wall and (len(reads) / wall) /
+                                         (len(reads) / S["ref_wall_s"]), 3)
+        log("%s timed %d: %.2fs (%.0f reads/s)"
+            % (name, i, wall, len(reads) / wall))
+    return S
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
     if os.environ.get("BENCH_STACK_DUMPS"):
@@ -150,106 +248,70 @@ def main():
     if jax.default_backend() == "tpu":
         start_warm_pull()
         from longqc_tpu.engine.device_overlap import A_LADDER, precompile
-        # base anchor rung only: the big retry rung compiles lazily on
-        # first F_ANCH overflow (and its compile is far more expensive)
         precompile(cfg, [4096], a_rungs=A_LADDER[:1], background=True)
 
-    from util_synth import make_genome, sample_reads, write_fastq_file
+    # generate the large dataset on a side thread while the base scale
+    # runs (pure numpy, ~55 s)
+    large_box = {}
 
-    rng = np.random.RandomState(1234)
-    log("generating %d synthetic reads..." % N_TARGET)
-    genome = make_genome(rng, GENOME)
-    reads = sample_reads(rng, genome, N_TARGET, min_len=800, max_len=2500,
-                         err=0.12, junk_frac=0.1)
-    queries = reads[:N_QUERY]
-    n_bases = sum(len(r[1]) for r in reads)
-    RESULT["metric"] = (
-        "overlap-sampled target reads/s (1 chip, %d targets %.1f Mbp vs "
-        "%d sampled reads)" % (N_TARGET, n_bases / 1e6, N_QUERY))
+    def gen_large():
+        try:
+            large_box["data"] = gen_data(SCALES["large"])
+        except Exception as e:
+            large_box["err"] = e
 
-    # ---- reference baseline first: cheap, no TPU involved ----
+    th = threading.Thread(target=gen_large, daemon=True)
+    th.start()
+
+    log("generating base dataset...")
+    reads_b, queries_b = gen_data(SCALES["base"])
     ncpu = os.cpu_count() or 1
     RESULT["baseline_cores"] = ncpu
     RESULT["baseline_note"] = (
         "reference ran at -t %d on this box; BASELINE.md north-star "
         "denominator is 16 cores" % ncpu)
-    ref_wall = None
-    ref_rows = None
     exe = build_reference()
-    if exe is not None:
-        tmp = "/tmp/longqc_bench"
-        os.makedirs(tmp, exist_ok=True)
-        tfq = os.path.join(tmp, "target.fq")
-        qfq = os.path.join(tmp, "query.fq")
-        write_fastq_file(tfq, reads)
-        write_fastq_file(qfq, queries)
-        t0 = time.time()
-        with open(os.path.join(tmp, "ref_out.txt"), "w") as fo:
-            subprocess.run(
-                [exe, "-Y", "-l", "0", "-q", "160", "-p", "80", "-k", "12",
-                 "-w", "5", "-t", str(ncpu), tfq, qfq],
-                stdout=fo, stderr=subprocess.DEVNULL, check=True)
-        ref_wall = time.time() - t0
-        RESULT["ref_wall_s"] = round(ref_wall, 3)
-        with open(os.path.join(tmp, "ref_out.txt")) as f:
-            ref_rows = [ln.rstrip("\n") for ln in f if ln.strip()]
-        log("reference: %.2fs (%.0f reads/s) at -t %d"
-            % (ref_wall, N_TARGET / ref_wall, ncpu))
 
-    # ---- engine warm-up (compiles; persistent cache across runs) ----
-    cache_before = n_cache_entries()
-    log("warm-up pass (cache entries on disk: %d)..." % cache_before)
-    t0 = time.time()
-    rows, eng = run_engine(reads, queries, cfg)
-    warmup_s = time.time() - t0
-    cache_after = n_cache_entries()
-    RESULT["warmup_s"] = round(warmup_s, 1)
-    RESULT["cache_entries_before"] = cache_before
-    RESULT["cache_misses"] = cache_after - cache_before
-    log("warm-up done in %.1fs (%d new cache entries)"
-        % (warmup_s, cache_after - cache_before))
+    try:
+        bench_scale("base", reads_b, queries_b, cfg, exe)
+    except Exception as e:
+        log("base scale failed: %r" % (e,))
+        RESULT["scales"].setdefault("base", {})["error"] = repr(e)
 
-    def record_timed(tpu_wall, eng):
-        tpu_rps = N_TARGET / tpu_wall
-        if tpu_rps > RESULT["value"]:
-            RESULT["value"] = round(tpu_rps, 2)
-            RESULT["tpu_wall_s"] = round(tpu_wall, 3)
-            RESULT["phase_s"] = {k: round(v, 3) for k, v in
-                                 sorted(eng.phase_s.items())}
-            if ref_wall:
-                RESULT["vs_baseline"] = round(
-                    tpu_rps / (N_TARGET / ref_wall), 3)
-            RESULT["host_fallback_rows"] = eng.n_host_fallback
-            RESULT["host_fallback_frac"] = round(
-                eng.n_host_fallback / max(1, len(queries)), 4)
-            RESULT["flag_counts"] = {str(k): v for k, v in
-                                     sorted(eng.flag_counts.items())}
-            RESULT["device_calls"] = eng.n_device_calls
-
-    # a first timed pass right away so a throughput number exists
-    t0 = time.time()
-    rows, eng = run_engine(reads, queries, cfg)
-    record_timed(time.time() - t0, eng)
-    log("timed pass 1: %.2fs (%.0f reads/s)"
-        % (RESULT["tpu_wall_s"], RESULT["value"]))
-
-    if ref_rows is not None:
-        mism = sum(1 for a, b in zip(rows, ref_rows) if a != b)
-        mism += abs(len(rows) - len(ref_rows))
-        RESULT["rows_identical_to_reference"] = (mism == 0)
-        if mism:
-            log("WARNING: %d/%d rows differ from reference"
-                % (mism, len(rows)))
-
-    if left() > 2.5 * RESULT["tpu_wall_s"] + 30:
-        t0 = time.time()
-        _, eng2 = run_engine(reads, queries, cfg)
-        record_timed(time.time() - t0, eng2)
-        log("timed pass 2 best: %.0f reads/s" % RESULT["value"])
+    th.join(timeout=max(left() - 120, 5))
+    if "data" in large_box:
+        try:
+            reads_l, queries_l = large_box["data"]
+            S = bench_scale("large", reads_l, queries_l, cfg, exe)
+            if "reads_per_s" in S:
+                RESULT["value"] = S["reads_per_s"]
+                RESULT["tpu_wall_s"] = S["tpu_wall_s"]
+                RESULT["vs_baseline"] = S.get("vs_baseline", 0.0)
+                RESULT["metric"] = (
+                    "overlap-sampled target reads/s (1 chip, %d targets "
+                    "%.1f Mbp vs %d sampled reads)"
+                    % (S["n_target"], S["mbp"], S["n_query"]))
+            del reads_l, queries_l
+        except Exception as e:
+            log("large scale failed: %r" % (e,))
+            RESULT["scales"].setdefault("large", {})["error"] = repr(e)
+    else:
+        log("large dataset generation failed/timed out: %r"
+            % (large_box.get("err"),))
+    # fall back to the base scale as headline if large produced nothing
+    if RESULT["value"] == 0.0 and \
+            "reads_per_s" in RESULT["scales"].get("base", {}):
+        B = RESULT["scales"]["base"]
+        RESULT["value"] = B["reads_per_s"]
+        RESULT["tpu_wall_s"] = B["tpu_wall_s"]
+        RESULT["vs_baseline"] = B.get("vs_baseline", 0.0)
+        RESULT["metric"] = (
+            "overlap-sampled target reads/s (1 chip, base scale)")
 
     # ---- adversarial fallback probe ----
     try:
-        if left() > 120:
+        if left() > 100:
+            from util_synth import make_genome, sample_reads
             rng2 = np.random.RandomState(77)
             core = make_genome(rng2, 2500)
             adv_genome = core * 8 + "AT" * 3000 + make_genome(rng2, 5000)
@@ -258,8 +320,11 @@ def main():
             _, adv_eng = run_engine(adv_reads, adv_reads[:64], cfg)
             RESULT["adversarial_fallback_frac"] = round(
                 adv_eng.n_host_fallback / 64.0, 4)
-            log("adversarial fallback frac: %.3f"
-                % RESULT["adversarial_fallback_frac"])
+            RESULT["adversarial_flag_counts"] = {
+                str(k): v for k, v in sorted(adv_eng.flag_counts.items())}
+            log("adversarial fallback frac: %.3f flags=%s"
+                % (RESULT["adversarial_fallback_frac"],
+                   RESULT["adversarial_flag_counts"]))
     except Exception as e:
         log("adversarial probe failed: %r" % (e,))
 
@@ -275,9 +340,14 @@ def main():
 
     # ---- virtual-mesh scaling table (subprocess on CPU devices) ----
     try:
-        if left() > 120:
-            budget = min(100.0, left() - 15)
+        if left() > 150:
+            budget = min(150.0, left() - 15)
             env = dict(os.environ)
+            # the axon sitecustomize force-registers the TPU platform
+            # via jax.config (overriding JAX_PLATFORMS); the script
+            # re-forces CPU itself, and dropping the pool IP prevents
+            # the TPU registration outright
+            env.pop("PALLAS_AXON_POOL_IPS", None)
             env["JAX_PLATFORMS"] = "cpu"
             env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                                 " --xla_force_host_platform_device_count=8")

@@ -51,11 +51,13 @@ READS_PER_ROW = 64
 # canonical index widths on the production geometry: every part pads to
 # the smallest fitting width, so at most one step program exists per
 # (M, A, N) — compile time rules on this backend and the pad is a
-# sub-ms copy into HBM. Two rungs: 2M slots covers parts to ~6 Mbp of
-# target sequence (the 5000-read sample class); 16M to ~48 Mbp. The
-# 16M-sized programs are compile-expensive on the attached backend and
-# only ever compile lazily for oversized parts.
-N_IDX_SIZES = (1 << 21, 1 << 24)
+# sub-ms copy into HBM. Rungs: 2M real entries covers parts to ~6 Mbp
+# of target sequence (the 5000-read sample class; chunk cropping makes
+# the width track real entries, not slots); 8M to ~24 Mbp. Widths past
+# 8M are compile-pathological on the attached backend (a 16M runlens
+# or sort wedged the remote compiler >15 min), so bigger parts fall
+# back to the exact host path.
+N_IDX_SIZES = (1 << 21, 1 << 22, 1 << 23)
 
 # small-geometry ladder for tests / tiny workloads (same code paths,
 # cheap compiles on the CPU backend)
@@ -71,6 +73,7 @@ class Tile:
     codes2: np.ndarray      # (R, W//16) uint32, 2-bit codes
     nmask: np.ndarray       # (R, W//32) uint32, 1 = ambiguous/padding
     startmask: np.ndarray   # (R, W//32) uint32, 1 = segment start
+    endmask: np.ndarray     # (R, W//32) uint32, 1 = read's last column
     starts: np.ndarray      # (R, READS_PER_ROW) int32 read start pos
     gids: np.ndarray        # (R, READS_PER_ROW) int32 global read id
     used: np.ndarray        # (R,) int32 row used width
@@ -113,6 +116,7 @@ class _TileBuilder:
         codes = np.zeros((R, W), np.uint8)
         amb = np.ones((R, W), bool)         # padding counts as ambiguous
         startb = np.zeros((R, W), bool)
+        endb = np.zeros((R, W), bool)
         starts = np.zeros((R, READS_PER_ROW), np.int32)
         gids = np.full((R, READS_PER_ROW), -1, np.int32)
         used = np.zeros(R, np.int32)
@@ -135,11 +139,12 @@ class _TileBuilder:
                 starts[r, j] = pos
                 gids[r, j] = gid
                 pos += len(c)
+                endb[r, pos - 1] = True   # read's last column
                 n_reads += 1
             used[r] = pos
         return Tile(R, W, _packbits32(_to_bits2(codes)),
                     _packbits32(amb), _packbits32(startb),
-                    starts, gids, used, n_reads)
+                    _packbits32(endb), starts, gids, used, n_reads)
 
 
 def _to_bits2(codes):
@@ -162,6 +167,29 @@ def _packbits32(arr):
     a = arr.reshape(R, W // 32, 32).astype(np.uint32)
     shifts = np.arange(32, dtype=np.uint32)[None, None, :]
     return (a << shifts).sum(axis=2, dtype=np.uint32)
+
+
+def pack_single_rows(seqs, W):
+    """Pack one read per row into the bit-packed tile layout (codes2,
+    nmask, startmask, endmask, starts, gids) for the fused sketch
+    kernel — the query group path's packer (each lane is one read,
+    gid = lane index)."""
+    R = len(seqs)
+    codes = np.zeros((R, W), np.uint8)
+    amb = np.ones((R, W), bool)
+    startb = np.zeros((R, W), bool)
+    endb = np.zeros((R, W), bool)
+    for r, s in enumerate(seqs):
+        a = SEQ_NT4_SKETCH[np.frombuffer(s.encode("ascii"), np.uint8)]
+        codes[r, :len(a)] = np.where(a < 4, a, 0)
+        amb[r, :len(a)] = a >= 4
+        startb[r, 0] = True
+        endb[r, len(a) - 1] = True
+    starts = np.zeros((R, READS_PER_ROW), np.int32)
+    gids = np.zeros((R, READS_PER_ROW), np.int32)
+    gids[:, 0] = np.arange(R, dtype=np.int32)
+    return (_packbits32(codes), _packbits32(amb), _packbits32(startb),
+            _packbits32(endb), starts, gids)
 
 
 def pack_part_tiles(part, w, ladder=TILE_LADDER, jumbo_w=JUMBO_W):
@@ -218,11 +246,18 @@ def infk(dtype):
     return np.array(np.iinfo(np.dtype(dtype)).max, dtype)
 
 
+def sketch_pallas_ok(W, k, wide, full_width):
+    """Whether the fused Pallas sketch kernel can serve this tile
+    shape (plain u32 hashes, the kernel's width window)."""
+    return (not wide and not full_width and 2 * k <= 30
+            and W % 32 == 0 and 256 <= W <= 8192)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("R", "W", "k", "w", "full_width",
-                                    "wide"))
-def tile_flat(codes2, nmask, startmask, starts, gids, used, *,
-              R, W, k, w, full_width=False, wide=False):
+                                    "wide", "pallas"))
+def tile_flat(codes2, nmask, startmask, endmask, starts, gids, used, *,
+              R, W, k, w, full_width=False, wide=False, pallas=False):
     """Fused per-tile program: unpack -> segment sketch -> flatten with
     read-id mapping -> duplicate expansion -> single-key sort.
 
@@ -241,6 +276,61 @@ def tile_flat(codes2, nmask, startmask, starts, gids, used, *,
     M = W if full_width else W // 2
     hdt = jnp.int64 if wide else jnp.int32
     INFH = infk(np.int64 if wide else np.int32)
+    if pallas:
+        # fused sequential kernel (ops/sketch_pallas): resolves read
+        # id and local position in-kernel, so the whole compaction /
+        # segment-mapping stage below (row argsort + ~8 gathers, each
+        # ~25-45 ms at this shape on the attached backend) disappears
+        # — the flat expansion runs straight on the (R, W) columns.
+        # Lanes whose attribution window overflowed (long symmetric
+        # runs) fold into row_overflow and redo exactly.
+        assert sketch_pallas_ok(W, k, wide, full_width)
+        from longqc_tpu.ops import sketch_pallas as skp
+        Rp = -(-R // skp._LAN) * skp._LAN
+
+        def tput(a):
+            b = jax.lax.bitcast_convert_type(a, jnp.int32).T
+            return jnp.pad(b, ((0, 0), (0, Rp - R)))
+
+        def tputi(a):
+            return jnp.pad(a.astype(jnp.int32).T,
+                           ((0, 0), (0, Rp - R)))
+
+        oh, om, og, fl = skp._sketch_pallas_t(
+            tput(codes2), tput(nmask), tput(startmask), tput(endmask),
+            tputi(starts), tputi(gids),
+            W=W, k=k, w=w, n_blk=Rp // skp._LAN,
+            interpret=jax.default_backend() != "tpu")
+        sr = jax.lax.shift_right_logical
+        om = om.T[:R]
+        emit = sr(om, np.int32(skp._META_EMIT_SHIFT)) & np.int32(63)
+        pallas_flag = fl.T[:R].reshape(-1) != 0
+
+        N = R * W
+        cf = emit.reshape(-1)
+        hf = jnp.where(cf > 0, oh.T[:R].reshape(-1), INFH)
+        rf = og.T[:R].reshape(-1)
+        pf = (om & np.int32((1 << skp._META_EMIT_SHIFT) - 1)
+              ).reshape(-1)   # (local_pos << 1) | strand
+        wsum = jnp.cumsum(cf).astype(jnp.int32)
+        n_exp_total = wsum[-1]
+        wstart = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), wsum[:-1]])
+        posf = jnp.arange(N, dtype=jnp.int32)
+        seed = jnp.zeros((N,), jnp.int32).at[
+            jnp.where(cf > 0, wstart, N)].max(posf, mode="drop")
+        src = _scan_max_1d(seed)
+        on = posf < n_exp_total
+        eh = jnp.where(on, hf[src], INFH)
+        er = jnp.where(on, rf[src], 0)
+        ep = jnp.where(on, pf[src], 0)
+        ih, irid, ips = jax.lax.sort(
+            (eh, er, ep), dimension=0, num_keys=1, is_stable=False)
+        # emissions per row never exceed its columns, so expansion
+        # overflow is impossible on this path
+        return (ih, irid, ips, n_exp_total, pallas_flag,
+                jnp.array(False))
+
     codes = _unpack2(codes2, W)
     amb = _unpack1(nmask, W)
     startb = _unpack1(startmask, W)
@@ -251,6 +341,7 @@ def tile_flat(codes2, nmask, startmask, starts, gids, used, *,
     emit, hsh, pos, strand = (res["emit"], res["hash"], res["pos"],
                               res["strand"])
     seg_s = res["seg"]
+    pallas_flag = jnp.zeros((R,), bool)
 
     # per-row compaction of emitting entries into M slots
     has = emit > 0
@@ -277,7 +368,7 @@ def tile_flat(codes2, nmask, startmask, starts, gids, used, *,
     ps = jnp.where(slot_on, (local << 1) | take(strand.astype(jnp.int32)),
                    0)
     cnt = jnp.where(h != INFH, take(emit.astype(jnp.int32)), 0)
-    row_overflow = n > M
+    row_overflow = (n > M) | pallas_flag
 
     # duplicate expansion in flat slot order (emissions with cnt > 1)
     N = R * M
@@ -291,7 +382,7 @@ def tile_flat(codes2, nmask, startmask, starts, gids, used, *,
     posf = jnp.arange(N, dtype=jnp.int32)
     seed = jnp.zeros((N,), jnp.int32).at[
         jnp.where(cf > 0, wstart, N)].max(posf, mode="drop")
-    src = jax.lax.associative_scan(jnp.maximum, seed)
+    src = _scan_max_1d(seed)
     on = posf < n_exp_total
     eh = jnp.where(on, hf[src], INFH)
     er = jnp.where(on, rf[src], 0)
@@ -355,30 +446,72 @@ def sort_index(eh, er, ep):
                         is_stable=False)
 
 
+def _scan_max_1d(x):
+    """Inclusive max-scan over a 1-D array, evaluated as a 2-D row scan
+    plus a tiny cross-row carry. The direct 1-D associative_scan's XLA
+    compile is pathological at canonical index widths on the attached
+    backend (fine at 2M, wedged >11 min at 8M); the reshaped form is
+    the (rows, cols) shape every other program already compiles."""
+    N = x.shape[0]
+    C = 8192
+    if N % C or N <= C:
+        return jax.lax.associative_scan(jnp.maximum, x)
+    R = N // C
+    x2 = x.reshape(R, C)
+    row = jax.lax.associative_scan(jnp.maximum, x2, axis=1)
+    # exclusive max of previous rows' totals
+    tot = row[:, -1]
+    carry = jax.lax.associative_scan(jnp.maximum, tot)
+    carry = jnp.concatenate(
+        [jnp.full((1,), jnp.iinfo(x.dtype).min, x.dtype), carry[:-1]])
+    return jnp.maximum(row, carry[:, None]).reshape(N)
+
+
 @jax.jit
 def index_runlens(ih):
     """Per-key occurrence runs on the sorted hash array: returns
     (is_start, run_len, n_keys). run_len is nonzero only at run starts.
 
-    Run lengths come from a forward run-start fill plus one scatter-max
-    of each slot's position into its run start (right bound minus start
-    position). Cheaper than both rejected alternatives on the attached
-    backend: the reverse associative scan (pathological compile: 238 s
-    at 2M slots, wedged at 16M) and the self-searchsorted (lowers to a
-    ~360 ms/call while loop at 2M). Sentinel padding sorts after every
-    real hash, so it never opens a run."""
+    run_len[start] = (position of the next run start, or the valid
+    count) - start. The next-start lookup is evaluated entirely in
+    reshaped (rows, 8192) form — a row-local flipped scan plus a tiny
+    per-row suffix combine — because every 1-D full-width alternative
+    is compile-pathological on the attached backend at big canonical
+    widths: the reverse associative scan (238 s at 2M, wedged at 16M),
+    the self-searchsorted (a ~360 ms/call while loop at 2M), and the
+    1-D scatter (wedged >400 s at 8M). Sentinel padding sorts after
+    every real hash, so valid slots are one contiguous prefix."""
     N = ih.shape[0]
     INFH = infk(ih.dtype)
+    C = 8192
+    R = max(N // C, 1)
+    if N % C:
+        R, C = 1, N
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = ih != INFH
     prev = jnp.concatenate(
         [jnp.full((1,), -1, ih.dtype), ih[:-1]])
     is_start = valid & (ih != prev)
     n_keys = jnp.sum(is_start).astype(jnp.int32)
-    start_pos = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, idx, -1))
-    right = jnp.zeros((N,), jnp.int32).at[
-        jnp.where(valid, start_pos, N)].max(idx + 1, mode="drop")
+    n_valid = jnp.sum(valid).astype(jnp.int32)
+
+    BIG = jnp.int32(0x7FFFFFFF)
+    y = jnp.where(is_start, idx, BIG).reshape(R, C)
+    # min start position strictly after i, within the row: flipped
+    # exclusive inclusive-min scan
+    yr = jnp.flip(y, axis=1)
+    inc = jax.lax.associative_scan(jnp.minimum, yr, axis=1)
+    exc = jnp.concatenate(
+        [jnp.full((R, 1), BIG, jnp.int32), inc[:, :-1]], axis=1)
+    nxt_in_row = jnp.flip(exc, axis=1)
+    # first start of each later row: exclusive suffix-min over the
+    # (R,) per-row minima
+    rmin = jnp.min(y, axis=1)
+    sfx = jax.lax.associative_scan(jnp.minimum, jnp.flip(rmin))
+    nxt_rows = jnp.flip(jnp.concatenate(
+        [jnp.full((1,), BIG, jnp.int32), sfx[:-1]]))
+    nxt = jnp.minimum(nxt_in_row, nxt_rows[:, None]).reshape(N)
+    right = jnp.minimum(nxt, n_valid)
     run_len = jnp.where(is_start, right - idx, 0)
     return is_start, run_len, n_keys
 
@@ -421,13 +554,27 @@ class IndexOverflowError(RuntimeError):
     Callers fall back to the exact host index for the part."""
 
 
+def use_pallas_sketch(W, k, wide, full_width=False):
+    """Backend decision for the fused sketch kernel: on by default on
+    TPU where it fits (LONGQC_SKETCH_PALLAS=0/1 overrides)."""
+    import os
+    if not sketch_pallas_ok(W, k, wide, full_width):
+        return False
+    env = os.environ.get("LONGQC_SKETCH_PALLAS")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() == "tpu"
+
+
 def _run_tile(t, k, w, full_width=False):
+    wide = 2 * k > 30
     return tile_flat(
         jnp.asarray(t.codes2), jnp.asarray(t.nmask),
-        jnp.asarray(t.startmask), jnp.asarray(t.starts),
-        jnp.asarray(t.gids), jnp.asarray(t.used),
-        R=t.R, W=t.W, k=k, w=w, full_width=full_width,
-        wide=2 * k > 30)
+        jnp.asarray(t.startmask), jnp.asarray(t.endmask),
+        jnp.asarray(t.starts), jnp.asarray(t.gids),
+        jnp.asarray(t.used),
+        R=t.R, W=t.W, k=k, w=w, full_width=full_width, wide=wide,
+        pallas=use_pallas_sketch(t.W, k, wide, full_width))
 
 
 def _merge_chunks(chunks, n_idx_sizes):
@@ -509,6 +656,23 @@ def _redo_tiles(part, tiles, ovf_np, k, w):
     return chunks
 
 
+def _crop_chunk(c, n_exp):
+    """Slice a per-tile sorted chunk down to the smallest eighth of its
+    slots that still holds every real entry (real entries are the
+    sorted prefix; the tail is sentinel padding). Big parts would
+    otherwise pad to a canonical width driven by slot count rather
+    than real entries — and widths past 8M slots are
+    compile-pathological on the attached backend. Typical minimizer
+    density is ~2/(w+1) of bases = 2/3 of slots, so cropping buys
+    ~1/3 of the canonical width back."""
+    n = c[0].shape[0]
+    g = max(n // 8, 1024)
+    crop = min(-(-max(int(n_exp), 1) // g) * g, n)
+    if crop == n:
+        return c
+    return [a[:crop] for a in c]
+
+
 def build_device_index(part, k, w, *, ladder=TILE_LADDER,
                        n_idx_sizes=N_IDX_SIZES, mid_occ_fixed=0,
                        mid_occ_frac=2e-4):
@@ -516,35 +680,50 @@ def build_device_index(part, k, w, *, ladder=TILE_LADDER,
     ih/irid/ips (canonical N_idx width), mid_occ (device scalar),
     n_idx, n_tiles.
 
-    The whole chain — tiles, merge tree, canonical pad, mid_occ — is
-    dispatched optimistically before the overflow flags are pulled
-    (overflow requires adversarial periodic reads), so the build's one
-    host sync sits after every dispatch; on the tunneled backend a
-    pull can otherwise starve behind whatever compile is in flight.
-    On overflow the affected tiles re-run at full width and the merge
-    chain is re-dispatched."""
+    Small parts (total slots within the first canonical width) keep
+    the round-3 zero-sync flow: the whole chain — tiles, canonical
+    sort, mid_occ — is dispatched optimistically before the overflow
+    flags are pulled (overflow requires adversarial periodic reads),
+    so the build's one host sync sits after every dispatch; on the
+    tunneled backend a pull can otherwise starve behind whatever
+    compile is in flight. Bigger parts sync once after the tile
+    dispatches and crop each chunk to its real entry count first
+    (_crop_chunk), so the canonical width tracks real entries.
+    On overflow the affected tiles re-run at full width and the
+    combine chain is re-dispatched."""
     tiles, jumbo = pack_part_tiles(part, w, ladder=ladder)
     tiles = tiles + jumbo
     results = [_run_tile(t, k, w) for t in tiles]
     chunks = [list(r[:3]) for r in results]
-    final, n_idx = _merge_chunks(chunks, n_idx_sizes)
-    mo = _mid_occ(final[0], mid_occ_fixed, mid_occ_frac)
+    optimistic = sum(c[0].shape[0] for c in chunks) <= n_idx_sizes[0]
+    if optimistic:
+        final, n_idx = _merge_chunks(chunks, n_idx_sizes)
+        mo = _mid_occ(final[0], mid_occ_fixed, mid_occ_frac)
     for r in results:
-        for arr in (r[4], r[5]):
+        for arr in (r[3], r[4], r[5]):
             try:
                 arr.copy_to_host_async()
             except AttributeError:
                 pass
 
-    # one deferred sync per part: overflow flags
+    # one deferred sync per part: overflow flags (+ per-tile real
+    # entry counts for the cropped big-part path)
     ovf_np = [(np.asarray(r[4]), bool(np.asarray(r[5])))
               for r in results]
-    if any(ov or row[:len(t.used)].any()
-           for t, (row, ov) in zip(tiles, ovf_np)):
+    overflow = any(ov or row[:len(t.used)].any()
+                   for t, (row, ov) in zip(tiles, ovf_np))
+    if overflow:
         redone = _redo_tiles(part, tiles, ovf_np, k, w)
-        chunks = [list(r[:3])
-                  for t, r, (row, ov) in zip(tiles, results, ovf_np)
-                  if not (ov or row[:len(t.used)].any())] + redone
+        clean = [(r, np.asarray(r[3]))
+                 for t, r, (row, ov) in zip(tiles, results, ovf_np)
+                 if not (ov or row[:len(t.used)].any())]
+        chunks = [_crop_chunk(list(r[:3]), int(n)) for r, n in clean]
+        chunks += redone   # rare adversarial path: left uncropped
+        final, n_idx = _merge_chunks(chunks, n_idx_sizes)
+        mo = _mid_occ(final[0], mid_occ_fixed, mid_occ_frac)
+    elif not optimistic:
+        n_exp = [int(np.asarray(r[3])) for r in results]
+        chunks = [_crop_chunk(c, n) for c, n in zip(chunks, n_exp)]
         final, n_idx = _merge_chunks(chunks, n_idx_sizes)
         mo = _mid_occ(final[0], mid_occ_fixed, mid_occ_frac)
 

@@ -915,9 +915,11 @@ def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
             "tile_flat(%d,%d)" % (R, W),
             di.tile_flat.lower(
                 sds((R, W // 16), u32), sds((R, W // 32), u32),
-                sds((R, W // 32), u32), sds((R, di.READS_PER_ROW)),
+                sds((R, W // 32), u32), sds((R, W // 32), u32),
+                sds((R, di.READS_PER_ROW)),
                 sds((R, di.READS_PER_ROW)), sds((R,)),
-                R=R, W=W, k=k, w=w, wide=wide)))
+                R=R, W=W, k=k, w=w, wide=wide,
+                pallas=di.use_pallas_sketch(W, k, wide))))
     out.append(("sort_index(%d)" % n_idx,
                 di.sort_index.lower(sds((n_idx,), hdt), sds((n_idx,)),
                                     sds((n_idx,)))))
@@ -937,6 +939,15 @@ def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
         out.append(("sketch(%d)" % blen,
                     sketch_batch.lower(sds((lanes, blen), jnp.uint8),
                                        sds((lanes,)), w=w, k=k)))
+        if di.use_pallas_sketch(blen, k, wide):
+            from longqc_tpu.ops.sketch_pallas import _sketch_pallas_t
+            out.append(("sketchp(%d)" % blen, _sketch_pallas_t.lower(
+                sds((blen // 16, lanes)), sds((blen // 32, lanes)),
+                sds((blen // 32, lanes)), sds((blen // 32, lanes)),
+                sds((di.READS_PER_ROW, lanes)),
+                sds((di.READS_PER_ROW, lanes)),
+                W=blen, k=k, w=w, n_blk=lanes // 128,
+                interpret=False)))
         out.append(("compact(%d)" % blen,
                     _compact_sketch.lower(
                         sds((lanes, blen)), sds((lanes, blen), sdt),
@@ -1039,10 +1050,24 @@ class _Group:
             rows = [reads[i] for i in qids]
             while len(rows) < lanes:
                 rows.append(["\0pad", "A" * k, ""])
-            batch = pack_reads(rows, max_len=self.blen, pad_to=self.blen,
-                               with_quals=False)
-            res = sketch_batch(jnp.asarray(batch.codes),
-                               jnp.asarray(batch.lengths), w=w, k=k)
+            res = None
+            if di.use_pallas_sketch(self.blen, k, 2 * k > 30):
+                # fused sketch kernel; groups containing a lane the
+                # kernel flagged (long symmetric runs) re-sketch whole
+                # via the XLA path (rare, adversarial reads only)
+                from longqc_tpu.ops.sketch_pallas import \
+                    sketch_tiles_pallas
+                packed = di.pack_single_rows([r[1] for r in rows],
+                                             self.blen)
+                resk = sketch_tiles_pallas(*packed, W=self.blen, k=k,
+                                           w=w, interpret=interpret)
+                if not np.asarray(resk["flags"]).any():
+                    res = resk
+            if res is None:
+                batch = pack_reads(rows, max_len=self.blen,
+                                   pad_to=self.blen, with_quals=False)
+                res = sketch_batch(jnp.asarray(batch.codes),
+                                   jnp.asarray(batch.lengths), w=w, k=k)
             (self.qh, self.qpos, self.qstrand, qcnt,
              self.n_slots) = _compact_sketch(
                 res["emit"], res["hash"], res["pos"], res["strand"],
