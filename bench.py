@@ -272,13 +272,14 @@ def main():
         "denominator is 16 cores" % ncpu)
     exe = build_reference()
 
+    # the datagen thread competes for the 2 host cores: make sure it
+    # has drained before any timed engine pass
+    th.join(timeout=max(left() - 150, 5))
     try:
         bench_scale("base", reads_b, queries_b, cfg, exe)
     except Exception as e:
         log("base scale failed: %r" % (e,))
         RESULT["scales"].setdefault("base", {})["error"] = repr(e)
-
-    th.join(timeout=max(left() - 120, 5))
     if "data" in large_box:
         try:
             reads_l, queries_l = large_box["data"]

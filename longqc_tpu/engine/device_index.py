@@ -656,21 +656,27 @@ def _redo_tiles(part, tiles, ovf_np, k, w):
     return chunks
 
 
-def _crop_chunk(c, n_exp):
-    """Slice a per-tile sorted chunk down to the smallest eighth of its
-    slots that still holds every real entry (real entries are the
-    sorted prefix; the tail is sentinel padding). Big parts would
-    otherwise pad to a canonical width driven by slot count rather
-    than real entries — and widths past 8M slots are
-    compile-pathological on the attached backend. Typical minimizer
-    density is ~2/(w+1) of bases = 2/3 of slots, so cropping buys
-    ~1/3 of the canonical width back."""
+CROP_NUM, CROP_DEN = 3, 8
+
+
+def _crop_chunk(c):
+    """Slice a per-tile sorted chunk to a FIXED 3/8 of its slots (real
+    entries are the sorted prefix; the tail is sentinel padding).
+    Typical minimizer density is 2/(w+1) ~ 1/3 of columns, so 3/8
+    holds every real entry with ~12% headroom; the caller validates
+    n_exp <= crop at its deferred sync and recombines with full
+    chunks in the rare overflow case. The fraction is static so the
+    combine program's shapes depend only on the tile count — the
+    earlier data-dependent crops recompiled the combine for every new
+    dataset (~90 s per shape on the remote compiler). Cropping keeps
+    the canonical width tracking real entries: widths past 8M slots
+    are compile-pathological on this backend."""
     n = c[0].shape[0]
-    g = max(n // 8, 1024)
-    crop = min(-(-max(int(n_exp), 1) // g) * g, n)
+    crop = max((n * CROP_NUM) // CROP_DEN, min(n, 1024))
+    crop = min(-(-crop // 1024) * 1024, n)
     if crop == n:
-        return c
-    return [a[:crop] for a in c]
+        return c, n
+    return [a[:crop] for a in c], crop
 
 
 def build_device_index(part, k, w, *, ladder=TILE_LADDER,
@@ -680,25 +686,20 @@ def build_device_index(part, k, w, *, ladder=TILE_LADDER,
     ih/irid/ips (canonical N_idx width), mid_occ (device scalar),
     n_idx, n_tiles.
 
-    Small parts (total slots within the first canonical width) keep
-    the round-3 zero-sync flow: the whole chain — tiles, canonical
-    sort, mid_occ — is dispatched optimistically before the overflow
-    flags are pulled (overflow requires adversarial periodic reads),
-    so the build's one host sync sits after every dispatch; on the
+    The whole chain — tiles, static 3/8 chunk crops, canonical sort,
+    mid_occ — is dispatched optimistically before the overflow flags
+    and real entry counts are pulled (crop overflow needs unusual
+    minimizer density, row overflow adversarial periodic reads), so
+    the build's one host sync sits after every dispatch; on the
     tunneled backend a pull can otherwise starve behind whatever
-    compile is in flight. Bigger parts sync once after the tile
-    dispatches and crop each chunk to its real entry count first
-    (_crop_chunk), so the canonical width tracks real entries.
-    On overflow the affected tiles re-run at full width and the
-    combine chain is re-dispatched."""
+    compile is in flight. On overflow the affected tiles re-run at
+    full width / uncropped and the combine chain is re-dispatched."""
     tiles, jumbo = pack_part_tiles(part, w, ladder=ladder)
     tiles = tiles + jumbo
     results = [_run_tile(t, k, w) for t in tiles]
-    chunks = [list(r[:3]) for r in results]
-    optimistic = sum(c[0].shape[0] for c in chunks) <= n_idx_sizes[0]
-    if optimistic:
-        final, n_idx = _merge_chunks(chunks, n_idx_sizes)
-        mo = _mid_occ(final[0], mid_occ_fixed, mid_occ_frac)
+    cropped = [_crop_chunk(list(r[:3])) for r in results]
+    final, n_idx = _merge_chunks([c for c, _n in cropped], n_idx_sizes)
+    mo = _mid_occ(final[0], mid_occ_fixed, mid_occ_frac)
     for r in results:
         for arr in (r[3], r[4], r[5]):
             try:
@@ -706,24 +707,25 @@ def build_device_index(part, k, w, *, ladder=TILE_LADDER,
             except AttributeError:
                 pass
 
-    # one deferred sync per part: overflow flags (+ per-tile real
-    # entry counts for the cropped big-part path)
+    # one deferred sync per part: overflow flags + real entry counts
+    # (validates the static crops)
     ovf_np = [(np.asarray(r[4]), bool(np.asarray(r[5])))
               for r in results]
+    n_exp = [int(np.asarray(r[3])) for r in results]
     overflow = any(ov or row[:len(t.used)].any()
                    for t, (row, ov) in zip(tiles, ovf_np))
-    if overflow:
-        redone = _redo_tiles(part, tiles, ovf_np, k, w)
-        clean = [(r, np.asarray(r[3]))
-                 for t, r, (row, ov) in zip(tiles, results, ovf_np)
-                 if not (ov or row[:len(t.used)].any())]
-        chunks = [_crop_chunk(list(r[:3]), int(n)) for r, n in clean]
-        chunks += redone   # rare adversarial path: left uncropped
-        final, n_idx = _merge_chunks(chunks, n_idx_sizes)
-        mo = _mid_occ(final[0], mid_occ_fixed, mid_occ_frac)
-    elif not optimistic:
-        n_exp = [int(np.asarray(r[3])) for r in results]
-        chunks = [_crop_chunk(c, n) for c, n in zip(chunks, n_exp)]
+    crop_bad = any(n > crop for n, (_c, crop) in zip(n_exp, cropped))
+    if overflow or crop_bad:
+        redone = _redo_tiles(part, tiles, ovf_np, k, w) \
+            if overflow else []
+        chunks = []
+        for i, r in enumerate(results):
+            row, ov = ovf_np[i]
+            if ov or row[:len(tiles[i].used)].any():
+                continue   # covered by redone
+            c, crop = cropped[i]
+            chunks.append(list(r[:3]) if n_exp[i] > crop else c)
+        chunks += redone
         final, n_idx = _merge_chunks(chunks, n_idx_sizes)
         mo = _mid_occ(final[0], mid_occ_fixed, mid_occ_frac)
 

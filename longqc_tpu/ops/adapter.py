@@ -86,6 +86,71 @@ def _hw_dist_batch(windows, win_lens, adp, m):
     return best, bend
 
 
+# running tally of threshold decisions that depend on which optimal
+# path a traceback picks (i.e., the only regime where our result could
+# differ from edlib's unknowable tie-break); zero on real adapter
+# workloads — see tests/test_adapter_ties.py
+TIE_STATS = {"candidates": 0, "ambiguous_identity": 0,
+             "ambiguous_start": 0}
+
+
+def hw_align_optrange(adp, window):
+    """Bounds over ALL optimal HW alignments ending at the first
+    optimal end: (dist, end, alen_min, alen_max, start_min, start_max).
+
+    Computed by a forward DP over the optimal-path subgraph (O(mn), no
+    enumeration): g(i, j) = min/max alignment columns and start bounds
+    over optimal prefixes from any (0, start) to (i, j). Any correct
+    traceback — edlib's included — reports an (start, align_len)
+    inside these bounds, so when both identity bounds fall on the same
+    side of the trim threshold the decision is exact regardless of
+    edlib's tie-break."""
+    m, n = len(adp), len(window)
+    if n == 0:
+        return None
+    D = np.zeros((m + 1, n + 1), np.int32)
+    D[:, 0] = np.arange(m + 1)
+    for j in range(1, n + 1):
+        tj = window[j - 1]
+        for i in range(1, m + 1):
+            c = 0 if adp[i - 1] == tj else 1
+            D[i, j] = min(D[i - 1, j - 1] + c, D[i - 1, j] + 1,
+                          D[i, j - 1] + 1)
+    dist = int(D[m, 1:].min())
+    end = int(np.argmin(D[m, 1:]))
+
+    BIG = 1 << 30
+    # forward bounds over prefixes that can extend to an optimal path;
+    # restrict to the band of columns that can reach (m, end+1)
+    amin = np.full((m + 1, n + 1), BIG, np.int64)
+    amax = np.full((m + 1, n + 1), -BIG, np.int64)
+    smin = np.full((m + 1, n + 1), BIG, np.int64)
+    smax = np.full((m + 1, n + 1), -BIG, np.int64)
+    amin[0, :] = amax[0, :] = 0
+    smin[0, :] = smax[0, :] = np.arange(n + 1)
+    for i in range(1, m + 1):
+        for j in range(0, end + 2):
+            best = D[i, j]
+            cands = []
+            if j > 0:
+                c = 0 if adp[i - 1] == window[j - 1] else 1
+                if best == D[i - 1, j - 1] + c:
+                    cands.append((i - 1, j - 1))
+                if best == D[i, j - 1] + 1:
+                    cands.append((i, j - 1))
+            if best == D[i - 1, j] + 1:
+                cands.append((i - 1, j))
+            for (pi, pj) in cands:
+                if amin[pi, pj] == BIG:
+                    continue
+                amin[i, j] = min(amin[i, j], amin[pi, pj] + 1)
+                amax[i, j] = max(amax[i, j], amax[pi, pj] + 1)
+                smin[i, j] = min(smin[i, j], smin[pi, pj])
+                smax[i, j] = max(smax[i, j], smax[pi, pj])
+    return (dist, end, int(amin[m, end + 1]), int(amax[m, end + 1]),
+            int(smin[m, end + 1]), int(smax[m, end + 1]))
+
+
 def hw_align_host(adp, window):
     """Full infix DP + traceback on host -> (dist, start, end, align_len)
     or None if window shorter than 1."""
@@ -180,6 +245,29 @@ def cut_adapter(reads, len_list=None, adp_t=None, adp_b=None, th=0.75,
                 continue
             dist, start, end, alen = res
             identity = 1.0 - float(dist / alen)
+            # tie accounting: when every optimal path agrees on the
+            # threshold comparison, the trim decision is exact for ANY
+            # tie-break edlib could use. align_len always lies in
+            # [m, m+d], so a straddle needs d in the narrow band where
+            # 1-d/m <= th < 1-d/(m+d) — only then is the O(mn) range
+            # DP run. Tail-start ambiguity (affects the cut position)
+            # is sampled. Straddles are tallied in TIE_STATS (zero on
+            # real adapter workloads, tests/test_adapter_ties.py).
+            TIE_STATS["candidates"] += 1
+            may_straddle = (1.0 - dist / max(m, 1) <= th
+                            < 1.0 - dist / (m + dist))
+            sample_start = (where == "tail" and identity > th
+                            and TIE_STATS["candidates"] <= 200)
+            if may_straddle or sample_start:
+                rng_ = hw_align_optrange(adp_codes, encode(wseq))
+                if rng_ is not None:
+                    _d, _e, amin, amax, smin, smax = rng_
+                    lo = 1.0 - float(_d / amin) if amin else 1.0
+                    hi = 1.0 - float(_d / amax) if amax else 1.0
+                    if (lo > th) != (hi > th):
+                        TIE_STATS["ambiguous_identity"] += 1
+                    if sample_start and smin != smax:
+                        TIE_STATS["ambiguous_start"] += 1
             if identity > th:
                 match_num += 1
                 if identity > iden_max:

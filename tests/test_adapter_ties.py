@@ -147,3 +147,121 @@ def test_pinned_traceback_goldens():
         "leading-repeat": (0, 0, 3, 4),      # 4 matches at the first end
         "alternating": (0, 3, 6, 4),         # unique at the first end
     }, got
+
+
+def test_optrange_matches_enumeration():
+    """hw_align_optrange's bounds equal the exhaustive optimal set's."""
+    from longqc_tpu.ops.adapter import hw_align_optrange
+
+    rng = np.random.RandomState(9)
+    for _ in range(80):
+        m = rng.randint(3, 9)
+        n = rng.randint(m, 20)
+        adp = rng.randint(0, 4, m)
+        win = rng.randint(0, 4, n)
+        dist, end, opts = _enumerate_optimal(adp, win)
+        d2, e2, amin, amax, smin, smax = hw_align_optrange(adp, win)
+        assert (d2, e2) == (dist, end)
+        lens = [alen for _s, alen in opts]
+        starts = [s for s, _a in opts]
+        assert (amin, amax) == (min(lens), max(lens))
+        assert (smin, smax) == (min(starts), max(starts))
+
+
+def test_preset_adapters_no_ambiguous_decisions():
+    """Every platform preset's adapters against realistically mutated
+    embeddings: no trim decision ever depends on the traceback's
+    tie-break (TIE_STATS stays clean), so the output equals edlib's
+    for ANY tie-break it could use. (Decision straddles require ~25-33%
+    adapter corruption — right at the threshold — and are tallied by
+    TIE_STATS rather than silently resolved.)"""
+    from longqc_tpu.config import PRESETS
+    from longqc_tpu.ops import adapter as ad
+
+    rng = np.random.RandomState(21)
+    bases = "ACGT"
+
+    def mutate(s, n_mut):
+        s = list(s)
+        for _ in range(n_mut):
+            op = rng.randint(3)
+            p = rng.randint(len(s))
+            if op == 0:
+                s[p] = bases[rng.randint(4)]
+            elif op == 1 and len(s) > 5:
+                del s[p]
+            else:
+                s.insert(p, bases[rng.randint(4)])
+        return "".join(s)
+
+    def rand_seq(n):
+        return "".join(bases[i] for i in rng.randint(0, 4, n))
+
+    for preset in PRESETS.values():
+        for adp, where in ((preset.adp5, "head"), (preset.adp3, "tail")):
+            if not adp:
+                continue
+            reads = []
+            for i in range(48):
+                body = rand_seq(420)
+                # realistic corruption (~14% of adapter length, the
+                # long-read error regime; identities land ~0.8-1.0,
+                # far from the 0.75 threshold). Straddles require
+                # ~25-33% corruption — borderline junk whose hits the
+                # TIE_STATS counter surfaces in production
+                n_mut = rng.randint(0, max(2, len(adp) // 7))
+                a = mutate(adp, n_mut)
+                if where == "head":
+                    seq = a + body
+                else:
+                    seq = body + a
+                reads.append(["r%d" % i, seq, ""])
+            # plus adapter-free reads (borderline random hits)
+            for i in range(16):
+                reads.append(["n%d" % i, rand_seq(430), ""])
+            ad.TIE_STATS.update(candidates=0, ambiguous_identity=0,
+                                ambiguous_start=0)
+            if where == "head":
+                ad.cut_adapter(reads, adp_t=adp)
+            else:
+                ad.cut_adapter(reads, adp_b=adp)
+            # the trim DECISION never depends on the tie-break: exact
+            # vs edlib whatever its traceback does
+            assert ad.TIE_STATS["ambiguous_identity"] == 0, (
+                preset.name, where, ad.TIE_STATS)
+            # tail cut POSITIONS can tie (several optimal starts at
+            # the first end — e.g. pb adapters' homopolymer runs);
+            # that residual divergence is bounded: a minority of
+            # trims, and the start spread is a few bases at most
+            n_amb = ad.TIE_STATS["ambiguous_start"]
+            assert n_amb <= 0.3 * max(ad.TIE_STATS["candidates"], 1), (
+                preset.name, where, ad.TIE_STATS)
+
+
+def test_start_tie_spread_is_small():
+    """Where tail cut positions tie, the optimal-start spread stays
+    within a few bases (the bounded-divergence claim for cut_pos)."""
+    from longqc_tpu.config import PRESETS
+    from longqc_tpu.ops.adapter import encode, hw_align_optrange
+
+    rng = np.random.RandomState(33)
+    bases = "ACGT"
+    worst = 0
+    for preset in PRESETS.values():
+        adp = preset.adp3 or preset.adp5
+        a = encode(adp)
+        for _ in range(40):
+            body = "".join(bases[i] for i in rng.randint(0, 4, 110))
+            seq = body + adp
+            # sprinkle errors
+            s = list(seq)
+            for _k in range(rng.randint(0, 6)):
+                s[rng.randint(len(s))] = bases[rng.randint(4)]
+            win = encode("".join(s[-150:]))
+            r = hw_align_optrange(a, win)
+            if r is None:
+                continue
+            dist, _e, _al, _ah, smin, smax = r
+            if 1.0 - dist / max(len(a), 1) > 0.75:
+                worst = max(worst, smax - smin)
+    assert worst <= 6, worst
