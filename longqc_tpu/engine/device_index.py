@@ -531,7 +531,14 @@ def kth_runlen(is_start, run_len, kth, max_occ_bits=21):
     """kth-smallest run length (+1) by binary search on the VALUE — no
     sort of the counts (mm_idx_cal_max_occ quantile, index.c:123-144).
     kth comes from kth_of (device) or the host equivalent
-    (int((1.0 - frac) * n): float64 round-to-nearest then truncate)."""
+    (int((1.0 - frac) * n): float64 round-to-nearest then truncate).
+
+    fori_loop, not an unrolled python loop: the unrolled graph held
+    max_occ_bits+1 full-array reductions and wedged compiles at 16M;
+    the loop form compiles in ~10 min at the 8M width (one-time,
+    persistent-cached). NB the compile cache keys include HLO source
+    locations, so edits that shift line numbers in this module re-pay
+    the big-width compiles."""
     def body(_i, lohi):
         lo, hi = lohi
         mid = (lo + hi) >> 1
@@ -539,9 +546,6 @@ def kth_runlen(is_start, run_len, kth, max_occ_bits=21):
         ok = cnt >= kth + 1
         return (jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi))
 
-    # fori_loop (not an unrolled python loop): the unrolled graph held
-    # max_occ_bits+1 full-array reductions and its XLA compile wedged
-    # the backend at the 16M width
     lo, hi = jax.lax.fori_loop(
         np.int32(0), np.int32(max_occ_bits + 1), body,
         (jnp.int32(0), jnp.int32(1 << max_occ_bits)))
