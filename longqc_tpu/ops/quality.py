@@ -101,7 +101,7 @@ def n_qx_batch(quals, lengths, threshold=7):
 def mean_q_host(qual_str):
     """Host scalar meanQ for oracle tests (sequential f64 sum as in C)."""
     idx = np.frombuffer(qual_str.encode("ascii"), dtype=np.uint8).astype(np.int64) - 33
-    s = 0.0
-    for v in idx:
-        s += Q2P[v]
+    # np.add.accumulate is elementwise-sequential: identical f64
+    # rounding to the C left-to-right loop, at C speed
+    s = float(np.add.accumulate(Q2P[idx])[-1])
     return -10.0 * np.log10(s / len(idx))
