@@ -614,6 +614,22 @@ def _merge_chunks(chunks, n_idx_sizes):
 def _mid_occ(ih, mid_occ_fixed, mid_occ_frac):
     if mid_occ_fixed:
         return jnp.asarray(np.int32(mid_occ_fixed))
+    if ih.shape[0] > (1 << 21):
+        # big canonical widths: the run-length programs are
+        # compile-pathological (runlens wedged the remote compiler
+        # >17 min at 4M/8M), while pulling the sorted hashes once
+        # (~8-16 MB u32 over the tunnel) and counting on host costs
+        # ~1-2 s — and is the host spec's own exact formula
+        # (overlap_host.MinimizerIndex.mid_occ; index.c:123-144)
+        h = np.asarray(ih)
+        h = h[h != infk(h.dtype)]
+        if len(h) == 0:
+            return jnp.asarray(np.int32(1))
+        _u, counts = np.unique(h, return_counts=True)
+        n = len(counts)
+        kth = min(int((1.0 - mid_occ_frac) * n), n - 1)
+        mo = int(np.partition(counts, kth)[kth]) + 1
+        return jnp.asarray(np.int32(mo))
     is_start, run_len, n_keys = index_runlens(ih)
     # n_keys == 0 (empty part): kth_of yields -1 and the value search
     # returns 1, matching the host spec's empty-index mid_occ

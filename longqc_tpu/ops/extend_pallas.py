@@ -199,15 +199,36 @@ def _build_call(W, Lq_pad, Lt, n_blk, dual, match, mismatch, gapo, gape,
         scratch_shapes=[pltpu.VMEM((_S, _LAN), i32)] * (4 if dual else 3),
         interpret=bool(interpret),
     )
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+
+    def call(*operands):
+        # x64 must be disabled for LOWERING, not just tracing: Mosaic's
+        # lowering re-traces helper mini-functions (lower_fun) under
+        # the global x64 setting, and with the package's global x64 a
+        # weak int lifts to int64 there, whose Mosaic conversion
+        # fallback self-recurses infinitely (the r3 bench's
+        # RecursionError on this kernel).
+        with jax.enable_x64(False):
+            return jitted(*operands)
+
+    return call
 
 
 def extz_batch_pallas(query, qlens, target, tlens, *, W=63, match=2,
-                      mismatch=-4, gapo=4, gape=2, gapo2=None, gape2=None,
-                      zdrop=400, interpret=None):
+                      mismatch=-4, gapo=4, gape=2,
+                      gapo2=None, gape2=None, zdrop=400, interpret=None):
     """Banded extension on (B, L) code arrays; same outputs/semantics as
     ops/extend.extz_batch, plus dual-gap (extd) scoring when gapo2/gape2
-    are given. W <= 63 (band <= 127 sublane slots)."""
+    are given. W <= 63 (band <= 127 sublane slots).
+
+    Mosaic's jaxpr lowering recurses per chained op; this kernel's
+    column body exceeds CPython's default 1000-frame limit on the TPU
+    backend (the r3 bench's RecursionError), so the limit is raised
+    around the call."""
+    import sys as _sys
+    _old_limit = _sys.getrecursionlimit()
+    if _old_limit < 100_000:
+        _sys.setrecursionlimit(100_000)
     assert 0 < W <= 63, "Pallas band layout holds 2W+1 <= 127 slots"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

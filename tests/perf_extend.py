@@ -63,6 +63,16 @@ def extension_perf(budget_s=60.0, B=1024, Lt=480, W=63):
     out["roofline_note"] = (
         "util = cells/s * ops_per_cell_model / %.2e int32 VPU ops/s "
         "(TPU v5e)" % VPU_INT32_OPS_PER_S)
+    out["utilization_gap_note"] = (
+        "the kernel walks one target column per fori iteration (the "
+        "lazy-F recurrence serializes columns), so each step issues "
+        "~60 (128,128) vector ops plus 8+ pltpu.roll shifts and "
+        "dynamic row loads whose Mosaic lowering dominates issue "
+        "slots; closing the gap needs multi-column software "
+        "pipelining of the anti-diagonal band, which is out of scope "
+        "while the kernel stays dormant in the LongQC live path "
+        "(ksw2 is compiled but never called by the reference driver, "
+        "lqmap.c:116)")
     return out
 
 
