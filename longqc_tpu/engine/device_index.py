@@ -43,6 +43,10 @@ from longqc_tpu.io.pack import SEQ_NT4_SKETCH
 from longqc_tpu.ops.ringprop import INF32
 from longqc_tpu.ops.sketch import _sketch_core
 
+# single-pass encode tables: ASCII byte -> 2-bit code / ambiguity
+_CODE_OF = np.where(SEQ_NT4_SKETCH < 4, SEQ_NT4_SKETCH, 0).astype(np.uint8)
+_AMB_OF = SEQ_NT4_SKETCH >= 4
+
 # tile ladder: all levels hold the same number of bases / flat slots so
 # every level feeds the same sort/merge machinery
 TILE_LADDER = ((256, 8192), (32, 65536), (4, 524288))
@@ -112,14 +116,17 @@ class _TileBuilder:
         return out
 
     def _pack(self, rows):
+        """Pack one tile. The python loop only computes the LAYOUT
+        (per-read row/column offsets — list appends); base encoding
+        and mask fills run as single vectorized passes over the whole
+        tile (the per-read slice-assignment loop this replaces cost
+        ~0.8 s per 16.5 Mbp part, 18% of round-4's index wall)."""
         R, W, sep = self.R, self.W, self.sep
-        codes = np.zeros((R, W), np.uint8)
-        amb = np.ones((R, W), bool)         # padding counts as ambiguous
-        startb = np.zeros((R, W), bool)
-        endb = np.zeros((R, W), bool)
         starts = np.zeros((R, READS_PER_ROW), np.int32)
         gids = np.full((R, READS_PER_ROW), -1, np.int32)
         used = np.zeros(R, np.int32)
+        seqs, rposs, rlens = [], [], []
+        start_cols, end_cols = [], []     # flat R*W scatter targets
         n_reads = 0
         for r, row in enumerate(rows):
             pos = 0
@@ -128,23 +135,39 @@ class _TileBuilder:
                     # separators belong to the NEXT segment: a window
                     # ending at a separator entry may only ever track
                     # entries of the read the separators precede
-                    startb[r, pos] = True
+                    start_cols.append(r * W + pos)
                     pos += sep
                 else:
-                    startb[r, 0] = True
-                a = np.frombuffer(seq.encode("ascii"), np.uint8)
-                c = SEQ_NT4_SKETCH[a]
-                codes[r, pos:pos + len(c)] = np.where(c < 4, c, 0)
-                amb[r, pos:pos + len(c)] = c >= 4
+                    start_cols.append(r * W)
+                seqs.append(seq)
+                rposs.append(r * W + pos)
+                rlens.append(len(seq))
                 starts[r, j] = pos
                 gids[r, j] = gid
-                pos += len(c)
-                endb[r, pos - 1] = True   # read's last column
+                pos += len(seq)
+                end_cols.append(r * W + pos - 1)
                 n_reads += 1
             used[r] = pos
-        return Tile(R, W, _packbits32(_to_bits2(codes)),
-                    _packbits32(amb), _packbits32(startb),
-                    _packbits32(endb), starts, gids, used, n_reads)
+        raw = np.frombuffer("".join(seqs).encode("ascii"), np.uint8)
+        rlens = np.asarray(rlens, np.int32)
+        cum = np.concatenate([np.zeros(1, np.int64),
+                              np.cumsum(rlens)]).astype(np.int64)
+        # ragged arange: flat tile index of every base of every read
+        tgt = np.arange(cum[-1], dtype=np.int64)
+        tgt += np.repeat(np.asarray(rposs, np.int64) - cum[:-1], rlens)
+        codes = np.zeros(R * W, np.uint8)
+        amb = np.ones(R * W, bool)          # padding counts as ambiguous
+        codes[tgt] = _CODE_OF[raw]
+        amb[tgt] = _AMB_OF[raw]
+        startb = np.zeros(R * W, bool)
+        startb[np.asarray(start_cols, np.int64)] = True
+        endb = np.zeros(R * W, bool)
+        endb[np.asarray(end_cols, np.int64)] = True
+        return Tile(R, W, _packbits32(codes.reshape(R, W)),
+                    _packbits32(amb.reshape(R, W)),
+                    _packbits32(startb.reshape(R, W)),
+                    _packbits32(endb.reshape(R, W)),
+                    starts, gids, used, n_reads)
 
 
 def _to_bits2(codes):
@@ -246,10 +269,14 @@ def infk(dtype):
     return np.array(np.iinfo(np.dtype(dtype)).max, dtype)
 
 
-def sketch_pallas_ok(W, k, wide, full_width):
+def sketch_pallas_ok(W, k, w, wide, full_width):
     """Whether the fused Pallas sketch kernel can serve this tile
-    shape (plain u32 hashes, the kernel's width window)."""
-    return (not wide and not full_width and 2 * k <= 30
+    shape (plain u32 hashes, the kernel's width window). w must fit
+    the kernel's ring scratch (RP = 8 or 16 rows, sketch_pallas): the
+    per-lane ring cursor wraps at w, so w > 16 would walk past the
+    scratch and silently drop pushes (reference allows -w up to 255 —
+    those configs ride the XLA path instead)."""
+    return (not wide and not full_width and 2 * k <= 30 and w <= 16
             and W % 32 == 0 and 256 <= W <= 8192)
 
 
@@ -284,7 +311,7 @@ def tile_flat(codes2, nmask, startmask, endmask, starts, gids, used, *,
         # — the flat expansion runs straight on the (R, W) columns.
         # Lanes whose attribution window overflowed (long symmetric
         # runs) fold into row_overflow and redo exactly.
-        assert sketch_pallas_ok(W, k, wide, full_width)
+        assert sketch_pallas_ok(W, k, w, wide, full_width)
         from longqc_tpu.ops import sketch_pallas as skp
         Rp = -(-R // skp._LAN) * skp._LAN
 
@@ -467,55 +494,6 @@ def _scan_max_1d(x):
     return jnp.maximum(row, carry[:, None]).reshape(N)
 
 
-@jax.jit
-def index_runlens(ih):
-    """Per-key occurrence runs on the sorted hash array: returns
-    (is_start, run_len, n_keys). run_len is nonzero only at run starts.
-
-    run_len[start] = (position of the next run start, or the valid
-    count) - start. The next-start lookup is evaluated entirely in
-    reshaped (rows, 8192) form — a row-local flipped scan plus a tiny
-    per-row suffix combine — because every 1-D full-width alternative
-    is compile-pathological on the attached backend at big canonical
-    widths: the reverse associative scan (238 s at 2M, wedged at 16M),
-    the self-searchsorted (a ~360 ms/call while loop at 2M), and the
-    1-D scatter (wedged >400 s at 8M). Sentinel padding sorts after
-    every real hash, so valid slots are one contiguous prefix."""
-    N = ih.shape[0]
-    INFH = infk(ih.dtype)
-    C = 8192
-    R = max(N // C, 1)
-    if N % C:
-        R, C = 1, N
-    idx = jnp.arange(N, dtype=jnp.int32)
-    valid = ih != INFH
-    prev = jnp.concatenate(
-        [jnp.full((1,), -1, ih.dtype), ih[:-1]])
-    is_start = valid & (ih != prev)
-    n_keys = jnp.sum(is_start).astype(jnp.int32)
-    n_valid = jnp.sum(valid).astype(jnp.int32)
-
-    BIG = jnp.int32(0x7FFFFFFF)
-    y = jnp.where(is_start, idx, BIG).reshape(R, C)
-    # min start position strictly after i, within the row: flipped
-    # exclusive inclusive-min scan
-    yr = jnp.flip(y, axis=1)
-    inc = jax.lax.associative_scan(jnp.minimum, yr, axis=1)
-    exc = jnp.concatenate(
-        [jnp.full((R, 1), BIG, jnp.int32), inc[:, :-1]], axis=1)
-    nxt_in_row = jnp.flip(exc, axis=1)
-    # first start of each later row: exclusive suffix-min over the
-    # (R,) per-row minima
-    rmin = jnp.min(y, axis=1)
-    sfx = jax.lax.associative_scan(jnp.minimum, jnp.flip(rmin))
-    nxt_rows = jnp.flip(jnp.concatenate(
-        [jnp.full((1,), BIG, jnp.int32), sfx[:-1]]))
-    nxt = jnp.minimum(nxt_in_row, nxt_rows[:, None]).reshape(N)
-    right = jnp.minimum(nxt, n_valid)
-    run_len = jnp.where(is_start, right - idx, 0)
-    return is_start, run_len, n_keys
-
-
 @functools.partial(jax.jit, static_argnames=("frac",))
 def kth_of(n_keys, *, frac):
     """kth index for the occurrence quantile, computed on device
@@ -526,43 +504,17 @@ def kth_of(n_keys, *, frac):
     return jnp.minimum(kth, n_keys - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_occ_bits",))
-def kth_runlen(is_start, run_len, kth, max_occ_bits=21):
-    """kth-smallest run length (+1) by binary search on the VALUE — no
-    sort of the counts (mm_idx_cal_max_occ quantile, index.c:123-144).
-    kth comes from kth_of (device) or the host equivalent
-    (int((1.0 - frac) * n): float64 round-to-nearest then truncate).
-
-    fori_loop, not an unrolled python loop: the unrolled graph held
-    max_occ_bits+1 full-array reductions and wedged compiles at 16M;
-    the loop form compiles in ~10 min at the 8M width (one-time,
-    persistent-cached). NB the compile cache keys include HLO source
-    locations, so edits that shift line numbers in this module re-pay
-    the big-width compiles."""
-    def body(_i, lohi):
-        lo, hi = lohi
-        mid = (lo + hi) >> 1
-        cnt = jnp.sum(is_start & (run_len <= mid)).astype(jnp.int32)
-        ok = cnt >= kth + 1
-        return (jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi))
-
-    lo, hi = jax.lax.fori_loop(
-        np.int32(0), np.int32(max_occ_bits + 1), body,
-        (jnp.int32(0), jnp.int32(1 << max_occ_bits)))
-    return hi + 1
-
-
 class IndexOverflowError(RuntimeError):
     """Even the full-width stage-2 tile overflowed duplicate expansion
     (requires > W emissions in one row — extreme adversarial input).
     Callers fall back to the exact host index for the part."""
 
 
-def use_pallas_sketch(W, k, wide, full_width=False):
+def use_pallas_sketch(W, k, w, wide, full_width=False):
     """Backend decision for the fused sketch kernel: on by default on
     TPU where it fits (LONGQC_SKETCH_PALLAS=0/1 overrides)."""
     import os
-    if not sketch_pallas_ok(W, k, wide, full_width):
+    if not sketch_pallas_ok(W, k, w, wide, full_width):
         return False
     env = os.environ.get("LONGQC_SKETCH_PALLAS")
     if env is not None:
@@ -578,7 +530,7 @@ def _run_tile(t, k, w, full_width=False):
         jnp.asarray(t.starts), jnp.asarray(t.gids),
         jnp.asarray(t.used),
         R=t.R, W=t.W, k=k, w=w, full_width=full_width, wide=wide,
-        pallas=use_pallas_sketch(t.W, k, wide, full_width))
+        pallas=use_pallas_sketch(t.W, k, w, wide, full_width))
 
 
 def _merge_chunks(chunks, n_idx_sizes):
@@ -611,30 +563,49 @@ def _merge_chunks(chunks, n_idx_sizes):
     return final, n_idx
 
 
+@jax.jit
+def runlen_sorted(ih):
+    """Ascending per-key occurrence counts of the sorted hash array,
+    INF-padded past n_keys, plus n_keys — via two 1-D sorts and
+    elementwise ops only. Sorts are the one full-width program class
+    that compiles AND executes fast at every canonical width on the
+    attached backend (sub-ms at 2M, ~46 ms at 8M), unlike the
+    scan/scatter run-length formulations (index_runlens wedged the
+    remote compiler >17 min at 4M/8M) and unlike pulling the hashes
+    to host (~2 s per big part over the tunnel).
+
+    Derivation: run starts (ih[i] != ih[i-1]) compact to the front by
+    sorting their positions; each run's length is the gap to the next
+    start (or to n_valid for the last run). Sorting those lengths
+    yields exactly the host spec's np.partition view of the count
+    multiset (overlap_host.MinimizerIndex.mid_occ; index.c:123-144)."""
+    N = ih.shape[0]
+    BIG = jnp.int32(0x7FFFFFFF)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = ih != infk(ih.dtype)
+    prev = jnp.concatenate([jnp.full((1,), -1, ih.dtype), ih[:-1]])
+    is_start = valid & (ih != prev)
+    n_keys = jnp.sum(is_start).astype(jnp.int32)
+    n_valid = jnp.sum(valid).astype(jnp.int32)
+    sp = jnp.sort(jnp.where(is_start, idx, BIG))
+    nxt = jnp.concatenate([sp[1:], jnp.full((1,), BIG, jnp.int32)])
+    rl = jnp.where(sp != BIG, jnp.minimum(nxt, n_valid) - sp, BIG)
+    return jnp.sort(rl), n_keys
+
+
+@functools.partial(jax.jit, static_argnames=("frac",))
+def _mid_occ_device(ih, *, frac):
+    rl_sorted, n_keys = runlen_sorted(ih)
+    kth = jnp.maximum(kth_of(n_keys, frac=frac), 0)
+    mo = jax.lax.dynamic_slice(rl_sorted, (kth,), (1,))[0] + 1
+    # empty part: the host spec's empty-index mid_occ is 1
+    return jnp.where(n_keys == 0, jnp.int32(1), mo)
+
+
 def _mid_occ(ih, mid_occ_fixed, mid_occ_frac):
     if mid_occ_fixed:
         return jnp.asarray(np.int32(mid_occ_fixed))
-    if ih.shape[0] > (1 << 21):
-        # big canonical widths: the run-length programs are
-        # compile-pathological (runlens wedged the remote compiler
-        # >17 min at 4M/8M), while pulling the sorted hashes once
-        # (~8-16 MB u32 over the tunnel) and counting on host costs
-        # ~1-2 s — and is the host spec's own exact formula
-        # (overlap_host.MinimizerIndex.mid_occ; index.c:123-144)
-        h = np.asarray(ih)
-        h = h[h != infk(h.dtype)]
-        if len(h) == 0:
-            return jnp.asarray(np.int32(1))
-        _u, counts = np.unique(h, return_counts=True)
-        n = len(counts)
-        kth = min(int((1.0 - mid_occ_frac) * n), n - 1)
-        mo = int(np.partition(counts, kth)[kth]) + 1
-        return jnp.asarray(np.int32(mo))
-    is_start, run_len, n_keys = index_runlens(ih)
-    # n_keys == 0 (empty part): kth_of yields -1 and the value search
-    # returns 1, matching the host spec's empty-index mid_occ
-    kth = kth_of(n_keys, frac=mid_occ_frac)
-    return kth_runlen(is_start, run_len, kth)
+    return _mid_occ_device(ih, frac=mid_occ_frac)
 
 
 def _redo_tiles(part, tiles, ovf_np, k, w):

@@ -60,6 +60,7 @@ GROUP_Q = 128          # query lanes per step call
 J = 64                 # chain-DP ring depth (ops/chain_pallas)
 CV = 512               # max accepted chains per (row, part) call
 EOUT = 4 * CV          # max emitted interval events per call
+EV_B = 8192            # cross-row compacted event budget per pull
 A_BUCKETS = (2048, 8192, 32768, 131072)
 # anchor-capacity rung ladder for the canonical-shape path. Since
 # round 4 the rung is picked per (part, group) from a cheap device
@@ -193,13 +194,23 @@ def _count_expanded(ih, qh, qcnt, n_slots, mid_occ):
     rung that fits every row (the reference plays the same pre-sizing
     trick for m_cnts, minimap2-coverage.c:406-431).
 
+    Also returns the seed-lookup tables (left, occ) per slot: the
+    searchsorted against the canonical index is the count's only
+    expensive op, and the step program consumes exactly the same
+    tables — returning them halves the per-(part, group) lookup work
+    (round 4 ran the identical searchsorted pair twice).
+
     All arithmetic stays int32 (i64 emulation triples the call cost on
-    the attached chip): per-slot contributions saturate at 65535, which
-    keeps the row sum below 2^31 for every length bucket (M <= 2^15)
-    and preserves the only decision the caller makes — picking the
-    smallest rung >= n_q. An underestimate from saturation at most
-    sends a pathological row through the F_ANCH safety net to the
-    exact host fallback."""
+    the attached chip): per-slot contributions saturate at 65535 and
+    accumulate in 1024-slot blocks whose partial sums clamp at 2^23,
+    so the outer sum stays below 2^30 for EVERY length bucket
+    (M <= 2^17: reads past 65536 bp land in the 262144 bucket) and
+    the count is monotone — it can only saturate, never wrap. The
+    only decision the caller makes is picking the smallest rung
+    >= n_q (rungs top out at 65536 << 2^23), so a clamped row always
+    picks the right rung or forces the host path; an underestimate
+    from per-slot saturation at most sends a pathological row through
+    the F_ANCH safety net to the exact host fallback."""
     Q, M = qh.shape
     CAP = jnp.int32(65535)
     HALF = jnp.int32(1 << 15)
@@ -210,8 +221,13 @@ def _count_expanded(ih, qh, qcnt, n_slots, mid_occ):
     kept = slot_on & (occ < mid_occ)
     sat = (occ > HALF) | (qcnt > HALF)
     prod = jnp.minimum(occ, HALF) * jnp.minimum(qcnt, HALF)  # <= 2^30
-    contrib = jnp.where(sat, CAP, jnp.minimum(prod, CAP))
-    return jnp.sum(jnp.where(kept, contrib, 0), axis=1).astype(jnp.int32)
+    contrib = jnp.where(kept, jnp.where(sat, CAP,
+                                        jnp.minimum(prod, CAP)), 0)
+    BLK = 1024 if M % 1024 == 0 else M
+    part = jnp.sum(contrib.reshape(Q, M // BLK, BLK), axis=2)
+    part = jnp.minimum(part, jnp.int32(1 << 23))
+    n_q = jnp.sum(part, axis=1).astype(jnp.int32)
+    return n_q, left, occ
 
 
 # ---------------------------------------------------------------------------
@@ -301,22 +317,22 @@ def _geom_ok(a, total, st: StepStatic):
     return ok, jnp.ones_like(ok)
 
 
-def _collect_anchors(ih, irid, ips, rid_rank, mid_occ,
-                     qh, qpos, qstrand, e_src, qlen, qrank, qbisect,
-                     st: StepStatic, qspan=None):
+def _collect_anchors(irid, ips, rid_rank, mid_occ,
+                     left_slot, occ_slot, qpos, qstrand, e_src, qlen,
+                     qrank, qbisect, st: StepStatic, qspan=None):
     """Seed lookup, kept-minimizer list and sorted anchor expansion
-    (lqmap.c:140-205). qspan: per-slot query minimizer spans (HPC mode;
-    None = constant-span plain mode, span == k). Returns
+    (lqmap.c:140-205). left_slot/occ_slot: the per-slot seed-lookup
+    tables from _count_expanded (the searchsorted pair runs once per
+    (part, group), in the count program). qspan: per-slot query
+    minimizer spans (HPC mode; None = constant-span plain mode,
+    span == k). Returns
     (key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept, kept_ssum,
     anch_ssum); span_s/kept_ssum/anch_ssum are None in plain mode."""
-    Q = qh.shape[0]
+    Q = left_slot.shape[0]
     M, M2, A = st.M, st.M2, st.A
     k32 = jnp.int32(st.k)
 
-    # --- seed lookup & kept-minimizer list (lqmap.c:140-205)
-    left_slot = jnp.searchsorted(ih, qh, side="left").astype(jnp.int32)
-    right_slot = jnp.searchsorted(ih, qh, side="right").astype(jnp.int32)
-    occ_slot = right_slot - left_slot
+    # --- kept-minimizer list (lqmap.c:140-205)
     pad1 = jnp.zeros((Q, 1), jnp.int32)
     occ_e = jnp.take_along_axis(
         jnp.concatenate([occ_slot, pad1], axis=1), e_src, axis=1)
@@ -380,7 +396,7 @@ def _collect_anchors(ih, irid, ips, rid_rank, mid_occ,
     js_e = kept_rank - off_in_slot
     # duplicates were expanded at index build: the t-th occurrence of an
     # entry is a direct offset from its run start
-    N = ih.shape[0]
+    N = irid.shape[0]
     slot = jnp.clip(jnp.take_along_axis(left_e, e_clip, axis=1) + t_in_e,
                     0, N - 1)
     rid_a = irid[slot]
@@ -641,32 +657,45 @@ def _post_dp(key1, key2, yq, js_s, span_s, f, p, v, peak, kflag,
     lam2_new = jnp.where(bad, lam2, lam2_new)
     avgk_new = jnp.where(bad, avgk_set, avgk_new)
     mc = jnp.where(bad[:, None], m_cnts, mc)
-    ev_n = jnp.where(bad | ~proc, 0, jnp.minimum(ev_n, EOUT))
-    # single packed pull target: [flags | ev_n | events] — the tunnel's
-    # d2h stalls are per-transfer, so each (part x group) call exposes
-    # exactly one host pull
-    packed = jnp.concatenate(
-        [new_flags[:, None], ev_n.astype(jnp.int32)[:, None], events],
-        axis=1)
-    return (lam_new, lam2_new, avgk_new, mc, packed, proc)
+    ev_n = jnp.where(bad | ~proc, 0, jnp.minimum(ev_n, EOUT)) \
+        .astype(jnp.int32)
+    # single packed pull target per call: [flags | ev_n | compacted
+    # events]. Events compact ACROSS rows (grouped by row id with one
+    # flat sort; per-row order is irrelevant — finalize sorts each
+    # read's endpoint multiset) into a fixed EV_B budget, so the pull
+    # is ~40 KB instead of the (Q, EOUT) ~1 MB of mostly padding that
+    # dominated round 4's pull phase. sum(ev_n) > EV_B (extreme event
+    # volume) makes the caller pull the uncompacted events_full once.
+    rows_e = jax.lax.broadcasted_iota(jnp.int32, (Q, EOUT), 0)
+    cols_e = jax.lax.broadcasted_iota(jnp.int32, (Q, EOUT), 1)
+    ev_on = cols_e < ev_n[:, None]
+    rk = jnp.where(ev_on, rows_e, INF32).reshape(-1)
+    vv = jnp.where(ev_on, events, 0).reshape(-1)
+    _rk_s, vv_s = jax.lax.sort((rk, vv), dimension=0, num_keys=1,
+                               is_stable=False)
+    packed_small = jnp.concatenate([new_flags, ev_n, vv_s[:EV_B]])
+    return (lam_new, lam2_new, avgk_new, mc, packed_small, events,
+            proc, new_flags)
 
 
-def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
-               qh, qpos, qstrand, e_src, n_exp, qlen, qrank, qbisect,
-               qvalid, lam, lam2, avgk_set, m_cnts, limbs5,
-               st: StepStatic):
+def _step_impl(irid, ips, seq_lens, rid_rank, mid_occ,
+               left_slot, occ_slot, qpos, qstrand, e_src, n_exp, qlen,
+               qrank, qbisect, qvalid, lam, lam2, avgk_set, m_cnts,
+               limbs5, st: StepStatic):
     """One (part x query-group) update (plain sketch, constant span).
-    Returns committed state and the packed [flags|ev_n|events] array.
+    Returns committed state, the packed [flags|ev_n|compact events]
+    pull target, and the uncompacted (Q, EOUT) events (pulled only on
+    EV_B overflow). left_slot/occ_slot come from the count pass.
 
     Q is taken from the runtime shape (not st.Q) so the same body serves
     both the single-device jit and the shard_map lane-sharded wrapper
     (parallel/mesh.overlap P8 scaling: index replicated, lanes sharded).
     """
-    Q = qh.shape[0]
+    Q = left_slot.shape[0]
     (key1, key2, yq, js_s, _sp, n_anch, n_q, mp_pos, n_kept,
      _ks, _as) = _collect_anchors(
-        ih, irid, ips, rid_rank, mid_occ, qh, qpos, qstrand, e_src,
-        qlen, qrank, qbisect, st)
+        irid, ips, rid_rank, mid_occ, left_slot, occ_slot, qpos,
+        qstrand, e_src, qlen, qrank, qbisect, st)
     limbs = jnp.broadcast_to(limbs5[:, None], (5, Q))
     rbad = jnp.zeros((1, Q), jnp.int32)
     f, p, v, peak, kflag = _run_dp(key1, key2, yq, None, n_anch,
@@ -674,7 +703,7 @@ def _step_impl(ih, irid, ips, seq_lens, rid_rank, mid_occ,
     out = _post_dp(key1, key2, yq, js_s, None, f, p, v, peak, kflag,
                    n_anch, n_q, mp_pos, n_kept, seq_lens, qlen, qvalid,
                    n_exp, lam, lam2, avgk_set, m_cnts, st)
-    return out[:5]
+    return out[:6]
 
 
 _step = functools.partial(jax.jit, static_argnames=("st",),
@@ -683,8 +712,9 @@ _step = functools.partial(jax.jit, static_argnames=("st",),
 
 
 @functools.partial(jax.jit, static_argnames=("st",))
-def _step_hpc_a(ih, irid, ips, rid_rank, mid_occ, qh, qpos, qstrand,
-                qspan, e_src, qlen, qrank, qbisect, st: StepStatic):
+def _step_hpc_a(irid, ips, rid_rank, mid_occ, left_slot, occ_slot,
+                qpos, qstrand, qspan, e_src, qlen, qrank, qbisect,
+                st: StepStatic):
     """HPC step, phase A: anchors + spans + the per-row span statistics
     the host needs to fit the per-row gap-penalty multiplier
     (avg_qspan is data-dependent under HPC, sketch.c:90-104). Returns
@@ -692,8 +722,8 @@ def _step_hpc_a(ih, irid, ips, rid_rank, mid_occ, qh, qpos, qstrand,
     [n_anch, anch_span_sum, n_kept, kept_span_sum, n_q]."""
     (key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos, n_kept,
      kept_ssum, anch_ssum) = _collect_anchors(
-        ih, irid, ips, rid_rank, mid_occ, qh, qpos, qstrand, e_src,
-        qlen, qrank, qbisect, st, qspan=qspan)
+        irid, ips, rid_rank, mid_occ, left_slot, occ_slot, qpos,
+        qstrand, e_src, qlen, qrank, qbisect, st, qspan=qspan)
     stats = jnp.stack([n_anch, anch_ssum, n_kept, kept_ssum, n_q],
                       axis=1)
     return (key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos, n_kept,
@@ -713,14 +743,16 @@ def _step_hpc_b(key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos,
     spec's state.avg_k, set host-side in kept_avg for f32 bit parity)."""
     f, p, v, peak, kflag = _run_dp(key1, key2, yq, span_s, n_anch,
                                    limbs, rbad, st)
-    (lam_n, lam2_n, avgk_n, mc, packed, proc) = _post_dp(
+    (lam_n, lam2_n, avgk_n, mc, packed_small, events_full, proc,
+     new_flags) = _post_dp(
         key1, key2, yq, js_s, span_s, f, p, v, peak, kflag, n_anch,
         n_q, mp_pos, n_kept, seq_lens, qlen, qvalid, n_exp, lam, lam2,
         avgk_set, m_cnts, st)
-    bad = packed[:, 0] != 0
+    bad = new_flags != 0
     set_now = proc & (n_kept > 0) & (avgk_set == 0) & ~bad
     avgk_val_n = jnp.where(set_now, kept_avg, avgk_val)
-    return lam_n, lam2_n, avgk_n, avgk_val_n, mc, packed
+    return (lam_n, lam2_n, avgk_n, avgk_val_n, mc, packed_small,
+            events_full)
 
 
 @functools.partial(jax.jit, static_argnames=("M",))
@@ -766,11 +798,13 @@ def _sharded_step(mesh, st: StepStatic):
     rep = P()
     lane1 = P("data")
     lane2 = P("data", None)
-    in_specs = (rep, rep, rep, rep, rep, rep,          # index
-                lane2, lane2, lane2, lane2, lane1,     # qh..n_exp
-                lane1, lane1, lane1, lane1,            # qlen..qvalid
+    in_specs = (rep, rep, rep, rep, rep,               # index
+                lane2, lane2, lane2, lane2, lane2,     # left..e_src
+                lane1, lane1, lane1, lane1, lane1,     # n_exp..qvalid
                 lane1, lane1, lane1, lane2, rep)       # state + limbs
-    out_specs = (lane1, lane1, lane1, lane2, lane2)
+    # packed_small is per-shard [flags|ev_n|events]: shards concatenate
+    # along axis 0, so the host unpacker walks per-shard blocks
+    out_specs = (lane1, lane1, lane1, lane2, lane1, lane2)
     fn = shard_map(functools.partial(_step_impl, st=st), mesh=mesh,
                    in_specs=in_specs, out_specs=out_specs,
                    check_vma=False)
@@ -896,11 +930,11 @@ def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
                 out.append((
                     "step(blen=%d,A=%d,Bp=%d)" % (blen, A, Bp),
                     _step.lower(
-                        sds((n_idx,), hdt), sds((n_idx,)),
-                        sds((n_idx,)),
+                        sds((n_idx,)), sds((n_idx,)),
                         sds((Bp,)), sds((Bp,)), sds((), i32),
-                        sds((lanes, M), hdt), sds((lanes, M)),
-                        sds((lanes, M)), sds((lanes, M2)),
+                        sds((lanes, M)), sds((lanes, M)),
+                        sds((lanes, M)), sds((lanes, M)),
+                        sds((lanes, M2)),
                         sds((lanes,)), sds((lanes,)), sds((lanes,)),
                         sds((lanes,)), sds((lanes,)),
                         sds((lanes,), jnp.int64),
@@ -919,15 +953,13 @@ def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
                 sds((R, di.READS_PER_ROW)),
                 sds((R, di.READS_PER_ROW)), sds((R,)),
                 R=R, W=W, k=k, w=w, wide=wide,
-                pallas=di.use_pallas_sketch(W, k, wide))))
+                pallas=di.use_pallas_sketch(W, k, w, wide))))
     out.append(("sort_index(%d)" % n_idx,
                 di.sort_index.lower(sds((n_idx,), hdt), sds((n_idx,)),
                                     sds((n_idx,)))))
-    out.append(("runlens(%d)" % n_idx,
-                di.index_runlens.lower(sds((n_idx,), hdt))))
-    out.append(("kth_runlen(%d)" % n_idx,
-                di.kth_runlen.lower(sds((n_idx,), jnp.bool_),
-                                    sds((n_idx,)), sds((), i32))))
+    out.append(("mid_occ(%d)" % n_idx,
+                di._mid_occ_device.lower(sds((n_idx,), hdt),
+                                         frac=cfg.map.mid_occ_frac)))
     # --- query group programs
     for blen in blens:
         M, M2 = blen // 2, blen
@@ -939,7 +971,7 @@ def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
         out.append(("sketch(%d)" % blen,
                     sketch_batch.lower(sds((lanes, blen), jnp.uint8),
                                        sds((lanes,)), w=w, k=k)))
-        if di.use_pallas_sketch(blen, k, wide):
+        if di.use_pallas_sketch(blen, k, w, wide):
             from longqc_tpu.ops.sketch_pallas import _sketch_pallas_t
             out.append(("sketchp(%d)" % blen, _sketch_pallas_t.lower(
                 sds((blen // 16, lanes)), sds((blen // 32, lanes)),
@@ -1051,7 +1083,7 @@ class _Group:
             while len(rows) < lanes:
                 rows.append(["\0pad", "A" * k, ""])
             res = None
-            if di.use_pallas_sketch(self.blen, k, 2 * k > 30):
+            if di.use_pallas_sketch(self.blen, k, w, 2 * k > 30):
                 # fused sketch kernel; groups containing a lane the
                 # kernel flagged (long symmetric runs) re-sketch whole
                 # via the XLA path (rare, adversarial reads only)
@@ -1371,32 +1403,37 @@ class DeviceOverlapEngine:
         self.phase_s["finalize"] += time.time() - t0
         return rows
 
-    def _step_group(self, g, pidx, qrank_d, qbisect_d, qvalid, A):
+    def _step_group(self, g, pidx, qrank_d, qbisect_d, qvalid, A,
+                    left, occ):
+        """Dispatch one (part x group) step; left/occ are the count
+        pass's seed-lookup tables. Returns (packed_small, events_full)
+        device arrays."""
         st = self._static(g, A)
         if self.hpc:
             return self._step_group_hpc(g, pidx, qrank_d, qbisect_d,
-                                        qvalid, st)
+                                        qvalid, st, left, occ)
         if self.mesh is not None:
             step_fn = _sharded_step(self.mesh, st)
         else:
             step_fn = functools.partial(_step, st=st)
-        (g.lam, g.lam2, g.avgk_set, g.m_cnts, packed) = step_fn(
-            pidx.ih, pidx.irid, pidx.ips, pidx.seq_lens,
+        (g.lam, g.lam2, g.avgk_set, g.m_cnts, small, full) = step_fn(
+            pidx.irid, pidx.ips, pidx.seq_lens,
             pidx.rid_rank, pidx.mid_occ,
-            g.qh, g.qpos, g.qstrand, g.e_src, g.n_exp,
+            left, occ, g.qpos, g.qstrand, g.e_src, g.n_exp,
             g.qlen, qrank_d, qbisect_d, qvalid,
             g.lam, g.lam2, g.avgk_set, g.m_cnts, self.limbs5)
         self.n_device_calls += 1
-        return packed
+        return small, full
 
-    def _step_group_hpc(self, g, pidx, qrank_d, qbisect_d, qvalid, st):
+    def _step_group_hpc(self, g, pidx, qrank_d, qbisect_d, qvalid, st,
+                        left, occ):
         """Two-phase HPC step: anchors + span stats on device, per-row
         gap-multiplier fit on host (avg_qspan is data-dependent under
         HPC), then DP + accounting on device."""
         (key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos, n_kept,
          stats) = _step_hpc_a(
-            pidx.ih, pidx.irid, pidx.ips, pidx.rid_rank, pidx.mid_occ,
-            g.qh, g.qpos, g.qstrand, g.qspan, g.e_src, g.qlen,
+            pidx.irid, pidx.ips, pidx.rid_rank, pidx.mid_occ,
+            left, occ, g.qpos, g.qstrand, g.qspan, g.e_src, g.qlen,
             qrank_d, qbisect_d, st=st)
         stats_np = np.asarray(stats)
         Q = stats_np.shape[0]
@@ -1415,31 +1452,60 @@ class DeviceOverlapEngine:
                 else:
                     limbs[:, r] = lb
         (g.lam, g.lam2, g.avgk_set, g.avgk_val, g.m_cnts,
-         packed) = _step_hpc_b(
+         small, full) = _step_hpc_b(
             key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos, n_kept,
             pidx.seq_lens, g.qlen, qvalid, g.n_exp,
             g.lam, g.lam2, g.avgk_set, g.avgk_val, g.m_cnts,
             jnp.asarray(limbs), jnp.asarray(rbad),
             jnp.asarray(kept_avg), st=st)
         self.n_device_calls += 1
-        return packed
+        return small, full
 
-    def _commit_rows(self, g, want, packed_np, progress, forced=()):
+    def _unpack_pull(self, small_np, events_full):
+        """Decode a step's packed_small pull ([flags | ev_n | compact
+        events] per mesh shard) into (flags (lanes,), per-row event
+        arrays). A shard whose event total overflowed EV_B falls back
+        to one pull of the uncompacted events_full (rare: needs > EV_B
+        interval endpoints in one 128-row group)."""
+        S = self.mesh.devices.size if self.mesh is not None else 1
+        Qs = self.lanes // S
+        blk = 2 * Qs + EV_B
+        flags = np.empty(self.lanes, np.int32)
+        ev_rows = [None] * self.lanes
+        full_np = None
+        for s in range(S):
+            b = small_np[s * blk:(s + 1) * blk]
+            en = b[Qs:2 * Qs]
+            flags[s * Qs:(s + 1) * Qs] = b[:Qs]
+            if int(en.sum()) > EV_B:
+                if full_np is None:
+                    full_np = np.asarray(events_full)
+                for r in range(Qs):
+                    ev_rows[s * Qs + r] = \
+                        full_np[s * Qs + r, :int(en[r])]
+                continue
+            ev = b[2 * Qs:]
+            off = 0
+            for r in range(Qs):
+                n = int(en[r])
+                ev_rows[s * Qs + r] = ev[off:off + n]
+                off += n
+        return flags, ev_rows
+
+    def _commit_rows(self, g, want, flags_np, ev_rows, progress,
+                     forced=()):
         """Record interval events for rows of `want` that came back
         clean; return the rows that still need work. `forced`: rows
         whose device update was masked off up front (count pass said
         they exceed the top anchor rung) — treated as flagged."""
-        flags_np = packed_np[:, 0]
-        ev_n_np = packed_np[:, 1]
         forced = set(forced)
         for r in want:
             if flags_np[r] or g.perm_host[r] or r in forced:
                 continue
             qi = g.qids[r]
-            n = int(ev_n_np[r])
-            if n:
-                self.events[qi].extend(
-                    int(x) for x in packed_np[r, 2:2 + n])
+            ev = ev_rows[r]
+            if ev is not None and len(ev):
+                self.events[qi].extend(int(x) for x in ev)
             if progress:
                 progress(qi)
         return [r for r in want
@@ -1472,17 +1538,17 @@ class DeviceOverlapEngine:
                 qrank[r] = pidx.name_rank.get(qname, -1)
                 if self.cfg.ava:
                     qbisect[r] = bisect_left(pidx.sorted_names, qname)
-            cnt = _count_expanded(pidx.ih, g.qh, g.qcnt, g.n_slots,
-                                  pidx.mid_occ)
+            cnt, left, occ = _count_expanded(pidx.ih, g.qh, g.qcnt,
+                                             g.n_slots, pidx.mid_occ)
             counts.append([g, jnp.asarray(qrank), jnp.asarray(qbisect),
-                           cnt])
+                           cnt, left, occ])
         for c in counts:
             _async_pull(c[3])
         self.phase_s["count"] += time.time() - t0
 
         t0 = time.time()
         pend = []
-        for g, qrank_d, qbisect_d, cnt in counts:
+        for g, qrank_d, qbisect_d, cnt, left, occ in counts:
             nq = np.asarray(cnt)
             live = np.zeros(self.lanes, bool)
             live[:len(g.qids)] = True
@@ -1499,23 +1565,25 @@ class DeviceOverlapEngine:
                 qv = np.asarray(g.qvalid).copy()
                 qv[forced] = 0
                 qvalid = jnp.asarray(qv)
-            packed = self._step_group(
-                g, pidx, qrank_d, qbisect_d, qvalid, rung)
-            pend.append([g, qrank_d, qbisect_d, packed, forced, rung])
+            small, full = self._step_group(
+                g, pidx, qrank_d, qbisect_d, qvalid, rung, left, occ)
+            pend.append([g, qrank_d, qbisect_d, small, full, forced,
+                         rung, left, occ])
         for p in pend:   # overlap the transfers with remaining compute
             _async_pull(p[3])
         self.phase_s["step"] += time.time() - t0
 
-        for g, qrank_d, qbisect_d, packed, forced, rung in pend:
+        for (g, qrank_d, qbisect_d, small, full, forced, rung, left,
+             occ) in pend:
             t0 = time.time()
-            packed_np = np.array(packed)   # writable: retries patch rows
+            flags_np, ev_rows = self._unpack_pull(np.asarray(small),
+                                                  full)
             self.phase_s["pull"] += time.time() - t0
             want = list(range(len(g.qids)))
-            bad = self._commit_rows(g, want, packed_np, progress,
-                                    forced=forced)
+            bad = self._commit_rows(g, want, flags_np, ev_rows,
+                                    progress, forced=forced)
             for r in forced:
                 self.flag_counts[F_ANCH] += 1
-            flags_np = packed_np[:, 0]
             # F_ANCH safety net: the count pass should have sized the
             # rung so this never fires; escalate past the used rung if
             # a count/step disagreement ever surfaces
@@ -1529,15 +1597,18 @@ class DeviceOverlapEngine:
                 t0 = time.time()
                 qv = np.zeros(self.lanes, np.int32)
                 qv[retry] = 1
-                packed2 = self._step_group(
+                small2, full2 = self._step_group(
                     g, pidx, qrank_d, qbisect_d, jnp.asarray(qv),
-                    self.a_ladder[ri])
+                    self.a_ladder[ri], left, occ)
                 self.n_retry_steps += 1
-                p2 = np.asarray(packed2)
+                flags2, ev_rows2 = self._unpack_pull(
+                    np.asarray(small2), full2)
                 for r in retry:
-                    packed_np[r] = p2[r]
+                    flags_np[r] = flags2[r]
+                    ev_rows[r] = ev_rows2[r]
                 self.phase_s["step"] += time.time() - t0
-                bad2 = self._commit_rows(g, retry, packed_np, progress)
+                bad2 = self._commit_rows(g, retry, flags_np, ev_rows,
+                                         progress)
                 bad = [r for r in bad if r not in retry] + bad2
             for r in bad:
                 if flags_np[r]:

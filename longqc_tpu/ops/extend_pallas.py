@@ -224,11 +224,10 @@ def extz_batch_pallas(query, qlens, target, tlens, *, W=63, match=2,
     Mosaic's jaxpr lowering recurses per chained op; this kernel's
     column body exceeds CPython's default 1000-frame limit on the TPU
     backend (the r3 bench's RecursionError), so the limit is raised
-    around the call."""
+    around the lowering call and restored afterwards (a permanently
+    raised limit would let an unrelated runaway recursion exhaust the
+    C stack and segfault instead of raising RecursionError)."""
     import sys as _sys
-    _old_limit = _sys.getrecursionlimit()
-    if _old_limit < 100_000:
-        _sys.setrecursionlimit(100_000)
     assert 0 < W <= 63, "Pallas band layout holds 2W+1 <= 127 slots"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -255,8 +254,14 @@ def extz_batch_pallas(query, qlens, target, tlens, *, W=63, match=2,
                      gapo, gape,
                      gapo2 if dual else 0, gape2 if dual else 0,
                      zdrop, interpret)
-    out = np.asarray(fn(jnp.asarray(qT), jnp.asarray(tT),
-                        jnp.asarray(ql), jnp.asarray(tl)))
+    _old_limit = _sys.getrecursionlimit()
+    try:
+        if _old_limit < 100_000:
+            _sys.setrecursionlimit(100_000)
+        out = np.asarray(fn(jnp.asarray(qT), jnp.asarray(tT),
+                            jnp.asarray(ql), jnp.asarray(tl)))
+    finally:
+        _sys.setrecursionlimit(_old_limit)
     return {"max": out[0, :B], "max_q": out[1, :B], "max_t": out[2, :B],
             "mqe": out[3, :B], "mqe_t": out[4, :B], "mte": out[5, :B],
             "mte_q": out[6, :B], "zdropped": out[7, :B].astype(bool)}

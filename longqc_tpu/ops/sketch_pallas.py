@@ -302,6 +302,9 @@ def _sketch_pallas_t(c2_t, nm_t, sb_t, eb_t, st_t, gid_t, *, W, k, w,
     every block's outputs in scoped VMEM at once, which overflows the
     16 MB budget at W = 8192."""
     RP = 8 if w <= 8 else 16
+    # the per-lane ring cursor wraps at w (bpn == w -> 0): w beyond the
+    # scratch rows would silently drop pushes, never flagging
+    assert w <= RP, "sketch_pallas ring scratch requires w <= %d" % RP
     kernel = _make_kernel(W, k, w, RP)
     vm = pltpu.VMEM
     i32 = jnp.int32
