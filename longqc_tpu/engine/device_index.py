@@ -333,30 +333,19 @@ def tile_flat(codes2, nmask, startmask, endmask, starts, gids, used, *,
         emit = sr(om, np.int32(skp._META_EMIT_SHIFT)) & np.int32(63)
         pallas_flag = fl.T[:R].reshape(-1) != 0
 
-        N = R * W
-        cf = emit.reshape(-1)
-        hf = jnp.where(cf > 0, oh.T[:R].reshape(-1), INFH)
-        rf = og.T[:R].reshape(-1)
-        pf = (om & np.int32((1 << skp._META_EMIT_SHIFT) - 1)
-              ).reshape(-1)   # (local_pos << 1) | strand
-        wsum = jnp.cumsum(cf).astype(jnp.int32)
-        n_exp_total = wsum[-1]
-        wstart = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), wsum[:-1]])
-        posf = jnp.arange(N, dtype=jnp.int32)
-        seed = jnp.zeros((N,), jnp.int32).at[
-            jnp.where(cf > 0, wstart, N)].max(posf, mode="drop")
-        src = _scan_max_1d(seed)
-        on = posf < n_exp_total
-        eh = jnp.where(on, hf[src], INFH)
-        er = jnp.where(on, rf[src], 0)
-        ep = jnp.where(on, pf[src], 0)
+        c2 = emit
+        h2 = jnp.where(c2 > 0, oh.T[:R], INFH)
+        r2 = og.T[:R]
+        p2 = om & np.int32((1 << skp._META_EMIT_SHIFT) - 1)
+        # (local_pos << 1) | strand
+        eh, er, ep, n_exp_total, n_exp_r = _expand_rows(
+            h2, r2, p2, c2, INFH)
         ih, irid, ips = jax.lax.sort(
             (eh, er, ep), dimension=0, num_keys=1, is_stable=False)
-        # emissions per row never exceed its columns, so expansion
-        # overflow is impossible on this path
-        return (ih, irid, ips, n_exp_total, pallas_flag,
-                jnp.array(False))
+        # emissions per row never exceed its columns (one per window,
+        # oracle-verified), so n_exp_r > W is defensive only
+        return (ih, irid, ips, n_exp_total,
+                pallas_flag | (n_exp_r > W), jnp.array(False))
 
     codes = _unpack2(codes2, W)
     amb = _unpack1(nmask, W)
@@ -395,26 +384,14 @@ def tile_flat(codes2, nmask, startmask, endmask, starts, gids, used, *,
     ps = jnp.where(slot_on, (local << 1) | take(strand.astype(jnp.int32)),
                    0)
     cnt = jnp.where(h != INFH, take(emit.astype(jnp.int32)), 0)
-    row_overflow = (n > M) | pallas_flag
 
-    # duplicate expansion in flat slot order (emissions with cnt > 1)
-    N = R * M
-    hf = h.reshape(-1)
-    rf = rids.reshape(-1)
-    pf = ps.reshape(-1)
-    cf = cnt.reshape(-1)
-    wsum = jnp.cumsum(cf).astype(jnp.int32)
-    n_exp_total = wsum[-1]
-    wstart = jnp.concatenate([jnp.zeros((1,), jnp.int32), wsum[:-1]])
-    posf = jnp.arange(N, dtype=jnp.int32)
-    seed = jnp.zeros((N,), jnp.int32).at[
-        jnp.where(cf > 0, wstart, N)].max(posf, mode="drop")
-    src = _scan_max_1d(seed)
-    on = posf < n_exp_total
-    eh = jnp.where(on, hf[src], INFH)
-    er = jnp.where(on, rf[src], 0)
-    ep = jnp.where(on, pf[src], 0)
-    exp_overflow = n_exp_total > N
+    # row-wise duplicate expansion (emissions with cnt > 1); a row
+    # whose EXPANDED count exceeds its M slots joins the overflow redo
+    # (full_width M = W always fits: emissions are one per window)
+    eh, er, ep, n_exp_total, n_exp_r = _expand_rows(h, rids, ps, cnt,
+                                                    INFH)
+    row_overflow = (n > M) | (n_exp_r > M) | pallas_flag
+    exp_overflow = jnp.array(False)
 
     ih, irid, ips = jax.lax.sort((eh, er, ep), dimension=0, num_keys=1,
                                  is_stable=False)
@@ -473,25 +450,54 @@ def sort_index(eh, er, ep):
                         is_stable=False)
 
 
-def _scan_max_1d(x):
-    """Inclusive max-scan over a 1-D array, evaluated as a 2-D row scan
-    plus a tiny cross-row carry. The direct 1-D associative_scan's XLA
-    compile is pathological at canonical index widths on the attached
-    backend (fine at 2M, wedged >11 min at 8M); the reshaped form is
-    the (rows, cols) shape every other program already compiles."""
-    N = x.shape[0]
-    C = 8192
-    if N % C or N <= C:
-        return jax.lax.associative_scan(jnp.maximum, x)
-    R = N // C
-    x2 = x.reshape(R, C)
-    row = jax.lax.associative_scan(jnp.maximum, x2, axis=1)
-    # exclusive max of previous rows' totals
-    tot = row[:, -1]
-    carry = jax.lax.associative_scan(jnp.maximum, tot)
-    carry = jnp.concatenate(
-        [jnp.full((1,), jnp.iinfo(x.dtype).min, x.dtype), carry[:-1]])
-    return jnp.maximum(row, carry[:, None]).reshape(N)
+def _expand_rows(h2, r2, p2, c2, INFH):
+    """Row-wise duplicate expansion: entry j of row r (multiplicity
+    c2[r, j]) occupies output slots [wstart, wstart + c2) of the SAME
+    row, wstart = exclusive row cumsum. Inter-row gaps stay as INFH
+    holes — the caller's single-key sort compacts them to the tail for
+    free, so no global (1-D full-width) compaction pass exists at all.
+    The round-4 flat formulation ran a 2M-wide scatter + scan + three
+    2M gathers (~100 ms per tile, the tile pipeline's hot spot); every
+    op here is a native row op (~10 ms).
+
+    Returns flattened (eh, er, ep), n_exp_total (sum of per-row
+    expanded counts, uncapped), and n_exp_r (R,) for overflow flags.
+    """
+    R, C = h2.shape
+    ccum = jnp.cumsum(c2, axis=1)
+    n_exp_r = ccum[:, -1].astype(jnp.int32)
+    wstart = (ccum - c2).astype(jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    # scatter each entry's VALUES at its expanded start column, then
+    # forward-fill with one tuple-operand "last valid wins" scan —
+    # value propagation instead of a source-index scan + three row
+    # gathers (gathers lower ~10 cycles/element on this backend; the
+    # tuple scan is one fused pass)
+    tgt = jnp.where(c2 > 0, wstart, C)
+
+    def place(a, fill):
+        out = jnp.full((R, C), fill, a.dtype)
+        return out.at[rows, tgt].set(a, mode="drop")
+
+    sh = place(h2, INFH)         # INFH doubles as the "empty" mark
+    sr_ = place(r2, 0)
+    sp = place(p2, 0)
+
+    def op(a, b):
+        ah, ar, ap = a
+        bh, br, bp = b
+        keep_b = bh != INFH
+        return (jnp.where(keep_b, bh, ah),
+                jnp.where(keep_b, br, ar), jnp.where(keep_b, bp, ap))
+
+    fh, fr, fp = jax.lax.associative_scan(op, (sh, sr_, sp), axis=1)
+    on = cols < n_exp_r[:, None]
+    eh = jnp.where(on, fh, INFH).reshape(-1)
+    er = jnp.where(on, fr, 0).reshape(-1)
+    ep = jnp.where(on, fp, 0).reshape(-1)
+    n_exp_total = jnp.sum(n_exp_r.astype(jnp.int64)).astype(jnp.int32)
+    return eh, er, ep, n_exp_total, n_exp_r
 
 
 @functools.partial(jax.jit, static_argnames=("frac",))

@@ -79,6 +79,11 @@ A_LADDER = (1024, 2048, 4096, 8192, 16384, 32768, 65536)
 # step program); rid packs into 24 bits
 B_PADS = (8192, 1 << 17, 1 << 21, 1 << 24)
 
+# engine configurations whose canonical programs have already been fed
+# to the compiler this process (precompile lowering is expensive host
+# work — never repeat it per engine construction)
+_PRECOMPILE_DONE = set()
+
 # flag bits (per row, per call)
 F_KERNEL = 1           # chain kernel truncation / max_skip disagreement
 F_SAT = 2              # m_cnts approaching uint16 saturation
@@ -121,6 +126,7 @@ class StepStatic:
     p_lo: int
     p_s: int
     interpret: bool
+    jring: int = J      # chain-DP ring depth (64; 128 = F_KERNEL retry)
 
 
 def _async_pull(arr):
@@ -132,9 +138,39 @@ def _async_pull(arr):
         pass
 
 
-def _row_searchsorted(a, v, side="left"):
-    """Per-row searchsorted: a (Q, Na) sorted rows, v (Q, Nv)."""
-    return jax.vmap(lambda ar, vr: jnp.searchsorted(ar, vr, side=side))(a, v)
+def _ss_left_2level(ih, q, n_coarse=8192):
+    """Left-side searchsorted of q (any shape) into sorted 1-D ih,
+    restructured for the TPU memory system: jnp.searchsorted lowers to
+    log2(N) = 23 gather sweeps over the full index (~10 ms per sweep
+    at the canonical 8M width — gathers run far off bandwidth), while
+    a boundary-counting compare-reduce runs on the VPU at near compute
+    speed. Phase 1 counts boundaries (every S-th hash) strictly below
+    q — one fused (nq, B) compare-sum, ~2G ops — which pins left(q)
+    into an S-wide window; phase 2 binary-searches the window with
+    ceil(log2(S+1)) gather sweeps whose addresses are S-local (cache
+    friendly). Exactness: ih[(c-1)S] < q <= ih[cS] brackets the first
+    i with ih[i] >= q by the boundary-count invariant; the refine loop
+    is the textbook left-bisect. ~3x faster than the builtin at the
+    bench shapes; differentially tested against jnp.searchsorted."""
+    N = ih.shape[0]
+    if N % n_coarse or N // n_coarse < 4:
+        return jnp.searchsorted(ih, q, side="left").astype(jnp.int32)
+    S = N // n_coarse
+    bnd = ih[::S]
+    qf = q.reshape(-1)
+    c = jnp.sum((bnd[None, :] < qf[:, None]).astype(jnp.int32),
+                axis=1)
+    lo = jnp.where(c > 0, (c - 1) * S + 1, 0)
+    hi = jnp.minimum(c * S, N)
+    steps = int(np.ceil(np.log2(S + 1)))
+    for _ in range(steps):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        v = ih[jnp.clip(mid, 0, N - 1)]
+        go = active & (v < qf)
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(active & ~go, mid, hi)
+    return lo.reshape(q.shape).astype(jnp.int32)
 
 
 def _seg_fill_last(mask, val, fill):
@@ -152,14 +188,22 @@ def _seg_fill_last(mask, val, fill):
 def _compact_rows(keys, payloads, width, fill_key):
     """Per-row stable compaction: entries with key != fill_key move to
     the front (in original order); returns truncated (Q, width) arrays
-    plus per-row valid counts."""
+    plus per-row valid counts. Cumsum + scatter (targets are unique
+    for valid entries, so the scatter is deterministic) — ~2x cheaper
+    than the multi-operand stable sort it replaces; slots past the
+    valid count hold fill_key/0 (every caller masks by n)."""
     Q, L = keys.shape
-    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-    order_key = jnp.where(keys != fill_key, pos, INF32)
-    ops = jax.lax.sort((order_key, keys) + tuple(payloads),
-                       dimension=1, num_keys=1, is_stable=True)
-    n = jnp.sum(keys != fill_key, axis=1).astype(jnp.int32)
-    return ops[1][:, :width], [o[:, :width] for o in ops[2:]], n
+    valid = keys != fill_key
+    tgt = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Q, L), 0)
+    tgt_c = jnp.where(valid & (tgt < width), tgt, width)
+    n = jnp.sum(valid, axis=1).astype(jnp.int32)
+
+    def scat(a, fill):
+        out = jnp.full((Q, width + 1), fill, a.dtype)
+        return out.at[rows, tgt_c].set(a, mode="drop")[:, :width]
+
+    return scat(keys, fill_key), [scat(p, 0) for p in payloads], n
 
 
 # ---------------------------------------------------------------------------
@@ -170,19 +214,17 @@ def _compact_rows(keys, payloads, width, fill_key):
 # query group preparation
 
 
-@functools.partial(jax.jit, static_argnames=("M2",))
-def _group_expand(qcnt, n_slots, *, M2):
-    """Expansion map from multiplicity counts: e_src[q, j] = slot index
-    of the j-th expanded sketch entry (M when j >= n_exp)."""
-    Q, M = qcnt.shape
+@jax.jit
+def _pack_group_slots(qpos, qstrand, qcnt, n_slots):
+    """Per-slot packed minimizer (pos << 1 | strand) and the group's
+    total expanded-entry counts (the mini_pos length the reference
+    divides m_cnts by, minimap2-coverage.c:545-563)."""
+    Q, M = qpos.shape
     slot_ok = jnp.arange(M, dtype=jnp.int32)[None, :] < n_slots[:, None]
-    ccum = jnp.cumsum(jnp.where(slot_ok, qcnt, 0), axis=1)
-    n_exp = ccum[:, -1].astype(jnp.int32)
-    j = jnp.broadcast_to(jnp.arange(M2, dtype=jnp.int32)[None, :],
-                         (Q, M2))
-    e_src = _row_searchsorted(ccum, j, side="right").astype(jnp.int32)
-    e_src = jnp.where(j < n_exp[:, None], e_src, M)
-    return e_src, n_exp
+    qps = (qpos << 1) | qstrand
+    n_exp = jnp.sum(jnp.where(slot_ok, qcnt, 0),
+                    axis=1).astype(jnp.int32)
+    return qps, n_exp
 
 
 @jax.jit
@@ -214,10 +256,14 @@ def _count_expanded(ih, qh, qcnt, n_slots, mid_occ):
     Q, M = qh.shape
     CAP = jnp.int32(65535)
     HALF = jnp.int32(1 << 15)
-    left = jnp.searchsorted(ih, qh, side="left").astype(jnp.int32)
-    right = jnp.searchsorted(ih, qh, side="right").astype(jnp.int32)
-    occ = right - left
     slot_on = jnp.arange(M, dtype=jnp.int32)[None, :] < n_slots[:, None]
+    # padding slots search the constant 0 (uniform gather addresses —
+    # the refine sweeps coalesce) — their left/occ are never consumed
+    qs = jnp.where(slot_on, qh, 0)
+    # right(q) == left(q+1) for integer keys (hashes < 2^2k < sentinel)
+    lr = _ss_left_2level(ih, jnp.concatenate([qs, qs + 1], axis=1))
+    left = lr[:, :M]
+    occ = lr[:, M:] - left
     kept = slot_on & (occ < mid_occ)
     sat = (occ > HALF) | (qcnt > HALF)
     prod = jnp.minimum(occ, HALF) * jnp.minimum(qcnt, HALF)  # <= 2^30
@@ -318,93 +364,86 @@ def _geom_ok(a, total, st: StepStatic):
 
 
 def _collect_anchors(irid, ips, rid_rank, mid_occ,
-                     left_slot, occ_slot, qpos, qstrand, e_src, qlen,
+                     left_slot, occ_slot, qps, qcnt, n_slots, qlen,
                      qrank, qbisect, st: StepStatic, qspan=None):
-    """Seed lookup, kept-minimizer list and sorted anchor expansion
-    (lqmap.c:140-205). left_slot/occ_slot: the per-slot seed-lookup
-    tables from _count_expanded (the searchsorted pair runs once per
-    (part, group), in the count program). qspan: per-slot query
-    minimizer spans (HPC mode; None = constant-span plain mode,
-    span == k). Returns
-    (key1, key2, yq, span_s, n_anch, n_q, mp_pos, n_kept, kept_ssum,
+    """Seed lookup, kept-minimizer accounting and sorted anchor
+    expansion (lqmap.c:140-205). left_slot/occ_slot: the per-slot
+    seed-lookup tables from _count_expanded (the searchsorted pair
+    runs once per (part, group), in the count program). qps packs the
+    per-slot minimizer (position << 1 | strand); qcnt the duplicate
+    emission multiplicity. qspan: per-slot query minimizer spans (HPC
+    mode; None = constant-span plain mode, span == k).
+
+    Duplicate emissions of a slot share (hash, pos, strand, span) and
+    the kept rank of their FIRST entry, so their anchors are
+    bit-identical — the expansion therefore runs in ONE stage, slot ->
+    qcnt*occ anchors, instead of round-4's slot -> M2 duplicate
+    entries -> anchors (which paid ~6 extra (Q, M2) gathers per call;
+    gathers lower ~5-10 cycles/element on this backend). Exactness is
+    unchanged: identical anchors are interchangeable under the stable
+    (key1, key2) sort (see the module docstring's tie argument).
+
+    Returns (key1, key2, yq, span_s, n_anch, n_q, n_kept, kept_ssum,
     anch_ssum); span_s/kept_ssum/anch_ssum are None in plain mode."""
     Q = left_slot.shape[0]
-    M, M2, A = st.M, st.M2, st.A
+    M, A = st.M, st.A
     k32 = jnp.int32(st.k)
 
-    # --- kept-minimizer list (lqmap.c:140-205)
-    pad1 = jnp.zeros((Q, 1), jnp.int32)
-    occ_e = jnp.take_along_axis(
-        jnp.concatenate([occ_slot, pad1], axis=1), e_src, axis=1)
-    left_e = jnp.take_along_axis(
-        jnp.concatenate([left_slot, pad1], axis=1), e_src, axis=1)
-    pos_e = jnp.take_along_axis(
-        jnp.concatenate([qpos, pad1], axis=1), e_src, axis=1)
-    strand_e = jnp.take_along_axis(
-        jnp.concatenate([qstrand, pad1], axis=1), e_src, axis=1)
-    e_valid = e_src < M
-    kept = e_valid & (occ_e < mid_occ)
-
-    # mini_pos: kept entries in position order (positions are
-    # non-decreasing in expansion order, so compaction preserves order)
-    mp_pos, _, n_kept = _compact_rows(
-        jnp.where(kept, pos_e, INF32), (), M2, INF32)
-    mp_pos = jnp.where(
-        jnp.arange(M2, dtype=jnp.int32)[None, :] < n_kept[:, None],
-        mp_pos, INF32)
-    span_e = kept_ssum = None
+    # --- kept-minimizer accounting (lqmap.c:140-205)
+    slot_on = jnp.arange(M, dtype=jnp.int32)[None, :] < n_slots[:, None]
+    kept = slot_on & (occ_slot < mid_occ)
+    kc = jnp.where(kept, qcnt, 0)
+    kcum = jnp.cumsum(kc, axis=1)
+    js_slot = kcum - kc            # kept rank of the slot's 1st entry
+    n_kept = kcum[:, -1].astype(jnp.int32)
+    kept_ssum = None
     if qspan is not None:
-        span_e = jnp.take_along_axis(
-            jnp.concatenate([qspan, pad1], axis=1), e_src, axis=1)
-        kept_ssum = jnp.sum(jnp.where(kept, span_e, 0),
+        kept_ssum = jnp.sum(jnp.where(kept, qcnt * qspan, 0),
                             axis=1).astype(jnp.int32)
 
-    # --- weighted anchor expansion. The owning entry of anchor slot j
-    # (searchsorted(ce, j, "right") in the spec) is materialized by
-    # seeding each entry id at its run start and forward-max-scanning:
-    # the vmapped binary search lowers to a pathological while loop on
-    # this backend (557 ms/call at A=32768 vs ~40 ms for scatter+scan)
-    ce = jnp.cumsum(jnp.where(kept, occ_e, 0), axis=1)
-    n_q = ce[:, -1].astype(jnp.int32)
+    # --- weighted anchor expansion: slot j owns qcnt*occ anchors. The
+    # owning slot of an anchor (searchsorted(ce, a, "right") in the
+    # spec) is materialized by seeding each slot id at its run start
+    # and forward-max-scanning: the vmapped binary search lowers to a
+    # pathological while loop on this backend. The cumsum rides int64
+    # (a repeat-heavy row's raw total can pass 2^31; the clamped int32
+    # view keeps n_q monotone, and any row whose count exceeds the top
+    # anchor rung was already forced off-device by the count pass).
+    w = jnp.where(kept, qcnt * occ_slot, 0)
+    ce = jnp.minimum(jnp.cumsum(w.astype(jnp.int64), axis=1),
+                     np.int64(1 << 30)).astype(jnp.int32)
+    n_q = ce[:, -1]
     a_ids = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :],
                              (Q, A))
-    rows_qa = jax.lax.broadcasted_iota(jnp.int32, (Q, A), 0)
     ce_pad = jnp.concatenate([jnp.zeros((Q, 1), jnp.int32), ce], axis=1)
-    starts_e = ce_pad[:, :M2]          # run start offset of entry e
-    e_ids = jnp.broadcast_to(jnp.arange(M2, dtype=jnp.int32)[None, :],
-                             (Q, M2))
-    rows_qm = jax.lax.broadcasted_iota(jnp.int32, (Q, M2), 0)
+    starts_s = ce_pad[:, :M]           # run start offset of slot j
+    s_ids = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :],
+                             (Q, M))
+    rows_qm = jax.lax.broadcasted_iota(jnp.int32, (Q, M), 0)
     seed = jnp.full((Q, A), -1, jnp.int32).at[
-        rows_qm, jnp.where(kept, jnp.minimum(starts_e, A), A)].max(
-        e_ids, mode="drop")
+        rows_qm, jnp.where(kept & (w > 0),
+                           jnp.minimum(starts_s, A), A)].max(
+        s_ids, mode="drop")
     e_of_a = jax.lax.associative_scan(jnp.maximum, seed, axis=1)
-    t_in_e = a_ids - jnp.take_along_axis(ce_pad, e_of_a, axis=1)
+    t_in_s = a_ids - jnp.take_along_axis(ce_pad, e_of_a, axis=1)
     valid_a = a_ids < n_q[:, None]
-    e_clip = jnp.clip(e_of_a, 0, M2 - 1)
+    e_clip = jnp.clip(e_of_a, 0, M - 1)
 
-    # per-entry kept rank (index into mp_pos): searchsorted(mp_pos, fq)
-    # of an anchor's forward position is exactly the kept rank of the
-    # FIRST expansion entry of its source slot (forward position ==
-    # minimizer position on both strands — an involution — slots have
-    # distinct positions, and a slot's duplicate expansions are kept
-    # together and consecutively)
-    kept_rank = jnp.cumsum(kept.astype(jnp.int32), axis=1) - 1
-    prev_src = jnp.pad(e_src, ((0, 0), (1, 0)),
-                       constant_values=-1)[:, :M2]
-    slot_first = e_src != prev_src
-    off_in_slot = e_ids - _seg_fill_last(slot_first, e_ids, 0)
-    js_e = kept_rank - off_in_slot
-    # duplicates were expanded at index build: the t-th occurrence of an
-    # entry is a direct offset from its run start
+    occ_a = jnp.take_along_axis(occ_slot, e_clip, axis=1)
+    left_a = jnp.take_along_axis(left_slot, e_clip, axis=1)
+    qps_a = jnp.take_along_axis(qps, e_clip, axis=1)
+    js_a0 = jnp.take_along_axis(js_slot, e_clip, axis=1)
+    # the t-th anchor of a slot reads index occurrence t mod occ
+    # (duplicate entries' anchor sets are identical — order free)
     N = irid.shape[0]
-    slot = jnp.clip(jnp.take_along_axis(left_e, e_clip, axis=1) + t_in_e,
-                    0, N - 1)
+    idx_run = t_in_s % jnp.maximum(occ_a, 1)
+    slot = jnp.clip(left_a + idx_run, 0, N - 1)
     rid_a = irid[slot]
     ps_a = ips[slot]
     rpos = ps_a >> 1
     rstrand = ps_a & 1
-    qpos_a = jnp.take_along_axis(pos_e, e_clip, axis=1)
-    qstr_a = jnp.take_along_axis(strand_e, e_clip, axis=1)
+    qpos_a = qps_a >> 1
+    qstr_a = qps_a & 1
     fwd = rstrand == qstr_a
     rev = jnp.where(fwd, 0, 1)
 
@@ -416,14 +455,14 @@ def _collect_anchors(irid, ips, rid_rank, mid_occ,
     live = valid_a & ~drop
     key1 = jnp.where(live, (rev << 24) | rid_a, INF32)
     key2 = jnp.where(live, rpos, INF32)
-    js_a = jnp.where(live, jnp.take_along_axis(js_e, e_clip, axis=1), 0)
+    js_a = jnp.where(live, js_a0, 0)
     if qspan is None:
         span_a = anch_ssum = None
         yq = jnp.where(fwd, qpos_a,
                        qlen[:, None] - (qpos_a + 1 - k32) - 1)
         yq = jnp.where(live, yq, 0)
     else:
-        span_a = jnp.take_along_axis(span_e, e_clip, axis=1)
+        span_a = jnp.take_along_axis(qspan, e_clip, axis=1)
         yq = jnp.where(fwd, qpos_a,
                        qlen[:, None] - (qpos_a + 1 - span_a) - 1)
         yq = jnp.where(live, yq, 0)
@@ -440,7 +479,7 @@ def _collect_anchors(irid, ips, rid_rank, mid_occ,
         key1, key2, yq, js_s, span_s = jax.lax.sort(
             (key1, key2, yq, js_a, span_a), dimension=1, num_keys=2,
             is_stable=True)
-    return (key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos, n_kept,
+    return (key1, key2, yq, js_s, span_s, n_anch, n_q, n_kept,
             kept_ssum, anch_ssum)
 
 
@@ -448,25 +487,27 @@ def _run_dp(key1, key2, yq, span_s, n_anch, limbs, rbad,
             st: StepStatic):
     """Fused chain DP (Pallas) + peak ring pass. limbs: (5, Q) int32
     fixed-point gap multiplier limbs per row; rbad: (1, Q) rows with no
-    exact multiplier (flagged into the kernel flag)."""
+    exact multiplier (flagged into the kernel flag). Ring depth comes
+    from st.jring: 64 in steady state, 128 for the F_KERNEL escalation
+    retry (repeat-dense rows whose predecessor window outruns 64)."""
     Q, A = key1.shape
-    carry = tuple(jnp.asarray(c) for c in make_carry_pallas(Q, J))
+    carry = tuple(jnp.asarray(c) for c in make_carry_pallas(Q, st.jring))
     if span_s is None:
         kspan = jnp.full((A, Q), st.k, jnp.int32)
     else:
         kspan = span_s.T
     f_t, p_t, v_t, *rest = _chain_dp_pallas_t(
         key1.T, key2.T, yq.T, kspan, n_anch.reshape(1, -1), limbs, rbad,
-        carry, jnp.int32(0), J=J, max_dist=st.max_gap, bw=st.bw,
+        carry, jnp.int32(0), J=st.jring, max_dist=st.max_gap, bw=st.bw,
         max_skip=st.max_skip, interpret=st.interpret)
     kflag = rest[-1].reshape(-1) != 0
     p_t = jnp.where(p_t < -1, -1, p_t)
-    peak_t = peak_pass(f_t, v_t, p_t, J=J, interpret=st.interpret)
+    peak_t = peak_pass(f_t, v_t, p_t, J=st.jring, interpret=st.interpret)
     return f_t.T, p_t.T, v_t.T, peak_t.T, kflag
 
 
 def _post_dp(key1, key2, yq, js_s, span_s, f, p, v, peak, kflag,
-             n_anch, n_q, mp_pos, n_kept, seq_lens, qlen, qvalid,
+             n_anch, n_q, n_kept, seq_lens, qlen, qvalid,
              n_exp, lam, lam2, avgk_set, m_cnts, st: StepStatic):
     """Chain selection, reg geometry, coverage accounting and interval
     compression (chain extraction per ops/chainsel; esterr.c:72-140;
@@ -503,7 +544,7 @@ def _post_dp(key1, key2, yq, js_s, span_s, f, p, v, peak, kflag,
     own = own.at[rows, jnp.clip(peak_it, 0, A)].min(
         jnp.where(is_new, rank_it, INF32), mode="drop")
 
-    mr = minrank_pass(p.T, own.T, J=J, interpret=st.interpret).T
+    mr = minrank_pass(p.T, own.T, J=st.jring, interpret=st.interpret).T
     mr = jnp.where(anch_on, mr, INF32)
 
     # --- segment chains in (min-rank, idx) order; stable sort keeps idx
@@ -630,7 +671,11 @@ def _post_dp(key1, key2, yq, js_s, span_s, f, p, v, peak, kflag,
         jnp.minimum(n_mc, CV)[:, None]
     ms_c = jnp.where(mc_on, ms_c, INF32)
     me_c = jnp.where(mc_on, me_c, 0)
-    ri = _row_searchsorted(ms_c, cv_s, side="right") - 1
+    # searchsorted-right by compare-sum: rows are CV=512 wide, so the
+    # (Q, CV, CV) compare-reduce is ~34M VPU ops (~0.1 ms) while the
+    # vmapped binary search lowers to a while loop (~7 ms/call)
+    ri = jnp.sum((ms_c[:, None, :] <= cv_s[:, :, None]).astype(
+        jnp.int32), axis=2) - 1
     ri_c = jnp.clip(ri, 0, CV - 1)
     contained = (ri >= 0) & \
         (cv_e <= jnp.take_along_axis(me_c, ri_c, axis=1)) & \
@@ -679,7 +724,7 @@ def _post_dp(key1, key2, yq, js_s, span_s, f, p, v, peak, kflag,
 
 
 def _step_impl(irid, ips, seq_lens, rid_rank, mid_occ,
-               left_slot, occ_slot, qpos, qstrand, e_src, n_exp, qlen,
+               left_slot, occ_slot, qps, qcnt, n_slots, n_exp, qlen,
                qrank, qbisect, qvalid, lam, lam2, avgk_set, m_cnts,
                limbs5, st: StepStatic):
     """One (part x query-group) update (plain sketch, constant span).
@@ -692,16 +737,16 @@ def _step_impl(irid, ips, seq_lens, rid_rank, mid_occ,
     (parallel/mesh.overlap P8 scaling: index replicated, lanes sharded).
     """
     Q = left_slot.shape[0]
-    (key1, key2, yq, js_s, _sp, n_anch, n_q, mp_pos, n_kept,
+    (key1, key2, yq, js_s, _sp, n_anch, n_q, n_kept,
      _ks, _as) = _collect_anchors(
-        irid, ips, rid_rank, mid_occ, left_slot, occ_slot, qpos,
-        qstrand, e_src, qlen, qrank, qbisect, st)
+        irid, ips, rid_rank, mid_occ, left_slot, occ_slot, qps,
+        qcnt, n_slots, qlen, qrank, qbisect, st)
     limbs = jnp.broadcast_to(limbs5[:, None], (5, Q))
     rbad = jnp.zeros((1, Q), jnp.int32)
     f, p, v, peak, kflag = _run_dp(key1, key2, yq, None, n_anch,
                                    limbs, rbad, st)
     out = _post_dp(key1, key2, yq, js_s, None, f, p, v, peak, kflag,
-                   n_anch, n_q, mp_pos, n_kept, seq_lens, qlen, qvalid,
+                   n_anch, n_q, n_kept, seq_lens, qlen, qvalid,
                    n_exp, lam, lam2, avgk_set, m_cnts, st)
     return out[:6]
 
@@ -713,27 +758,27 @@ _step = functools.partial(jax.jit, static_argnames=("st",),
 
 @functools.partial(jax.jit, static_argnames=("st",))
 def _step_hpc_a(irid, ips, rid_rank, mid_occ, left_slot, occ_slot,
-                qpos, qstrand, qspan, e_src, qlen, qrank, qbisect,
+                qps, qcnt, n_slots, qspan, qlen, qrank, qbisect,
                 st: StepStatic):
     """HPC step, phase A: anchors + spans + the per-row span statistics
     the host needs to fit the per-row gap-penalty multiplier
     (avg_qspan is data-dependent under HPC, sketch.c:90-104). Returns
     device arrays for phase B plus a (Q, 5) stats pull target
     [n_anch, anch_span_sum, n_kept, kept_span_sum, n_q]."""
-    (key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos, n_kept,
+    (key1, key2, yq, js_s, span_s, n_anch, n_q, n_kept,
      kept_ssum, anch_ssum) = _collect_anchors(
-        irid, ips, rid_rank, mid_occ, left_slot, occ_slot, qpos,
-        qstrand, e_src, qlen, qrank, qbisect, st, qspan=qspan)
+        irid, ips, rid_rank, mid_occ, left_slot, occ_slot, qps,
+        qcnt, n_slots, qlen, qrank, qbisect, st, qspan=qspan)
     stats = jnp.stack([n_anch, anch_ssum, n_kept, kept_ssum, n_q],
                       axis=1)
-    return (key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos, n_kept,
+    return (key1, key2, yq, js_s, span_s, n_anch, n_q, n_kept,
             stats)
 
 
 @functools.partial(jax.jit, static_argnames=("st",),
                    donate_argnames=("lam", "lam2", "avgk_set",
                                     "avgk_val", "m_cnts"))
-def _step_hpc_b(key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos,
+def _step_hpc_b(key1, key2, yq, js_s, span_s, n_anch, n_q,
                 n_kept, seq_lens, qlen, qvalid, n_exp, lam, lam2,
                 avgk_set, avgk_val, m_cnts, limbs, rbad, kept_avg,
                 st: StepStatic):
@@ -746,7 +791,7 @@ def _step_hpc_b(key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos,
     (lam_n, lam2_n, avgk_n, mc, packed_small, events_full, proc,
      new_flags) = _post_dp(
         key1, key2, yq, js_s, span_s, f, p, v, peak, kflag, n_anch,
-        n_q, mp_pos, n_kept, seq_lens, qlen, qvalid, n_exp, lam, lam2,
+        n_q, n_kept, seq_lens, qlen, qvalid, n_exp, lam, lam2,
         avgk_set, m_cnts, st)
     bad = new_flags != 0
     set_now = proc & (n_kept > 0) & (avgk_set == 0) & ~bad
@@ -799,9 +844,10 @@ def _sharded_step(mesh, st: StepStatic):
     lane1 = P("data")
     lane2 = P("data", None)
     in_specs = (rep, rep, rep, rep, rep,               # index
-                lane2, lane2, lane2, lane2, lane2,     # left..e_src
-                lane1, lane1, lane1, lane1, lane1,     # n_exp..qvalid
-                lane1, lane1, lane1, lane2, rep)       # state + limbs
+                lane2, lane2, lane2, lane2,            # left..qcnt
+                lane1, lane1, lane1, lane1, lane1,     # n_slots..qbisect
+                lane1, lane1, lane1, lane1,            # qvalid + state
+                lane2, rep)                            # m_cnts, limbs
     # packed_small is per-shard [flags|ev_n|events]: shards concatenate
     # along axis 0, so the host unpacker walks per-shard blocks
     out_specs = (lane1, lane1, lane1, lane2, lane1, lane2)
@@ -880,7 +926,7 @@ def _compact_sketch(emit, hsh, pos, strand, *, M):
     return qh, qpos, qstrand, qcnt, n
 
 
-def _make_static(cfg, lanes, M, M2, A, k, interpret):
+def _make_static(cfg, lanes, M, M2, A, k, interpret, jring=J):
     m = cfg.map
     f = cfg.flt
     p_hi, p_lo, p_s = _ratio_limbs(f.min_ratio)
@@ -891,7 +937,8 @@ def _make_static(cfg, lanes, M, M2, A, k, interpret):
         min_sc_m=m.min_score_med, min_sc_g=m.min_score_good,
         max_overhang=f.max_overhang, min_cov=f.min_coverage,
         covt=cfg.covt, ava=cfg.ava,
-        p_hi=p_hi, p_lo=p_lo, p_s=p_s, interpret=interpret)
+        p_hi=p_hi, p_lo=p_lo, p_s=p_s, interpret=interpret,
+        jring=jring)
 
 
 def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
@@ -934,9 +981,8 @@ def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
                         sds((Bp,)), sds((Bp,)), sds((), i32),
                         sds((lanes, M)), sds((lanes, M)),
                         sds((lanes, M)), sds((lanes, M)),
-                        sds((lanes, M2)),
                         sds((lanes,)), sds((lanes,)), sds((lanes,)),
-                        sds((lanes,)), sds((lanes,)),
+                        sds((lanes,)), sds((lanes,)), sds((lanes,)),
                         sds((lanes,), jnp.int64),
                         sds((lanes,), jnp.int64), sds((lanes,)),
                         sds((lanes, M2)), sds((5,)), st=st)))
@@ -985,9 +1031,11 @@ def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
                         sds((lanes, blen)), sds((lanes, blen), sdt),
                         sds((lanes, blen)), sds((lanes, blen)),
                         M=M)))
-        out.append(("expand(%d)" % blen,
-                    _group_expand.lower(sds((lanes, M)),
-                                        sds((lanes,)), M2=M2)))
+        out.append(("packslots(%d)" % blen,
+                    _pack_group_slots.lower(sds((lanes, M)),
+                                            sds((lanes, M)),
+                                            sds((lanes, M)),
+                                            sds((lanes,)))))
         out.append(("finalize(%d)" % blen,
                     _finalize_group.lower(
                         sds((lanes,), jnp.int64),
@@ -1105,8 +1153,9 @@ class _Group:
                 res["emit"], res["hash"], res["pos"], res["strand"],
                 M=self.M)
             self.qspan = None
-        self.e_src, self.n_exp = _group_expand(qcnt, self.n_slots,
-                                               M2=self.M2)
+        self.qps, self.n_exp = _pack_group_slots(self.qpos,
+                                                 self.qstrand, qcnt,
+                                                 self.n_slots)
         self.qcnt = qcnt
         self.qlen = jnp.asarray(
             np.array([len(reads[i][1]) for i in qids]
@@ -1330,7 +1379,6 @@ class DeviceOverlapEngine:
         self.lanes = lanes_per_shard * (mesh.devices.size if mesh is not None
                                         else 1)
         self.queries = query_reads
-        self.groups = []
         by_bucket = {}
         for i, r in enumerate(query_reads):
             by_bucket.setdefault(_len_bucket(len(r[1])), []).append(i)
@@ -1338,19 +1386,22 @@ class DeviceOverlapEngine:
             # absorb the backend's first-pull stall on a side thread
             # and (plain mode) feed the remote compiler every canonical
             # program at once (it parallelizes ~3.5x) while groups
-            # stage below; HPC programs compile lazily (small runs)
+            # stage below; HPC programs compile lazily (small runs).
+            # Once per process per configuration: the lowering pass is
+            # heavy host-side tracing, and re-running it on every
+            # engine construction silently stole a core from every
+            # later timed pass (the round-4 bench's hidden overhead)
             from longqc_tpu.parallel.warm import start_warm_pull
             start_warm_pull()
-            if not self.hpc:
+            key = (cfg.index.k, cfg.index.w, tuple(sorted(by_bucket)),
+                   self.lanes, geometry)
+            if not self.hpc and key not in _PRECOMPILE_DONE:
+                _PRECOMPILE_DONE.add(key)
                 precompile(self.cfg, sorted(by_bucket),
                            lanes=self.lanes, a_rungs=self.a_ladder[:1],
                            geometry=geometry, background=True)
-        for blen, idxs in sorted(by_bucket.items()):
-            for off in range(0, len(idxs), self.lanes):
-                self.groups.append(_Group(idxs[off:off + self.lanes],
-                                          query_reads, self.k, self.w,
-                                          interpret, lanes=self.lanes,
-                                          hpc=self.hpc))
+        self._by_bucket = by_bucket
+        self._groups = None
         self.events = [[] for _ in query_reads]   # flat tagged endpoints
         # persistent host ReadStates for permanently host-processed
         # rows; populated lazily per group (first host access) so the
@@ -1358,14 +1409,31 @@ class DeviceOverlapEngine:
         self.host_state = {}
         self._host_state_done = set()
         self.n_host_fallback = 0
+        self.n_host_only_parts = 0
         self.n_device_calls = 0
         self.n_retry_steps = 0
         self.phase_s = defaultdict(float)   # wall time per phase
         self.flag_counts = defaultdict(int)
 
-    def _static(self, g, A):
+    @property
+    def groups(self):
+        """Query groups, staged lazily on first access so run() can
+        overlap the staging (device sketch/compact per group) with the
+        first part's host-side pack in the build thread."""
+        if self._groups is None:
+            gs = []
+            for blen, idxs in sorted(self._by_bucket.items()):
+                for off in range(0, len(idxs), self.lanes):
+                    gs.append(_Group(idxs[off:off + self.lanes],
+                                     self.queries, self.k, self.w,
+                                     self.interpret, lanes=self.lanes,
+                                     hpc=self.hpc))
+            self._groups = gs
+        return self._groups
+
+    def _static(self, g, A, jring=J):
         return _make_static(self.cfg, self.lanes, g.M, g.M2, A, self.k,
-                            self.interpret)
+                            self.interpret, jring=jring)
 
     def run(self, target_iter, progress=None, parts=None):
         """Pipelined part loop (the kt_pipeline role, kthread.c:129-158):
@@ -1393,6 +1461,10 @@ class DeviceOverlapEngine:
         with cf.ThreadPoolExecutor(max_workers=1) as ex:
             nxt = next(part_iter, None)
             fut = ex.submit(build, nxt) if nxt is not None else None
+            # stage query groups while the first part packs/builds on
+            # the side thread (device work serializes on chip; the
+            # overlap hides the host-side pack + python time)
+            _ = self.groups
             while fut is not None:
                 pidx = fut.result()
                 nxt = next(part_iter, None)
@@ -1404,11 +1476,11 @@ class DeviceOverlapEngine:
         return rows
 
     def _step_group(self, g, pidx, qrank_d, qbisect_d, qvalid, A,
-                    left, occ):
+                    left, occ, jring=J):
         """Dispatch one (part x group) step; left/occ are the count
         pass's seed-lookup tables. Returns (packed_small, events_full)
         device arrays."""
-        st = self._static(g, A)
+        st = self._static(g, A, jring=jring)
         if self.hpc:
             return self._step_group_hpc(g, pidx, qrank_d, qbisect_d,
                                         qvalid, st, left, occ)
@@ -1419,7 +1491,7 @@ class DeviceOverlapEngine:
         (g.lam, g.lam2, g.avgk_set, g.m_cnts, small, full) = step_fn(
             pidx.irid, pidx.ips, pidx.seq_lens,
             pidx.rid_rank, pidx.mid_occ,
-            left, occ, g.qpos, g.qstrand, g.e_src, g.n_exp,
+            left, occ, g.qps, g.qcnt, g.n_slots, g.n_exp,
             g.qlen, qrank_d, qbisect_d, qvalid,
             g.lam, g.lam2, g.avgk_set, g.m_cnts, self.limbs5)
         self.n_device_calls += 1
@@ -1430,10 +1502,10 @@ class DeviceOverlapEngine:
         """Two-phase HPC step: anchors + span stats on device, per-row
         gap-multiplier fit on host (avg_qspan is data-dependent under
         HPC), then DP + accounting on device."""
-        (key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos, n_kept,
+        (key1, key2, yq, js_s, span_s, n_anch, n_q, n_kept,
          stats) = _step_hpc_a(
             pidx.irid, pidx.ips, pidx.rid_rank, pidx.mid_occ,
-            left, occ, g.qpos, g.qstrand, g.qspan, g.e_src, g.qlen,
+            left, occ, g.qps, g.qcnt, g.n_slots, g.qspan, g.qlen,
             qrank_d, qbisect_d, st=st)
         stats_np = np.asarray(stats)
         Q = stats_np.shape[0]
@@ -1453,7 +1525,7 @@ class DeviceOverlapEngine:
                     limbs[:, r] = lb
         (g.lam, g.lam2, g.avgk_set, g.avgk_val, g.m_cnts,
          small, full) = _step_hpc_b(
-            key1, key2, yq, js_s, span_s, n_anch, n_q, mp_pos, n_kept,
+            key1, key2, yq, js_s, span_s, n_anch, n_q, n_kept,
             pidx.seq_lens, g.qlen, qvalid, g.n_exp,
             g.lam, g.lam2, g.avgk_set, g.avgk_val, g.m_cnts,
             jnp.asarray(limbs), jnp.asarray(rbad),
@@ -1517,6 +1589,11 @@ class DeviceOverlapEngine:
         that overflowed the rung (F_ANCH) retry at bigger rungs, and
         whatever remains flagged is recomputed exactly on the host."""
         if pidx.host_only:
+            # no silent scale cliff: count and log the event (bench
+            # publishes host_only_parts)
+            self.n_host_only_parts += 1
+            logger.warning("part exceeds the device-index ceiling; "
+                           "computed by the exact host path")
             t0 = time.time()
             for g in self.groups:
                 self._host_fix(g, pidx, list(range(len(g.qids))),
@@ -1610,6 +1687,30 @@ class DeviceOverlapEngine:
                 bad2 = self._commit_rows(g, retry, flags_np, ev_rows,
                                          progress)
                 bad = [r for r in bad if r not in retry] + bad2
+            # F_KERNEL escalation: rows whose J=64 predecessor ring
+            # truncated (repeat-dense anchor runs) retry once at the
+            # J=128 rung before the host fallback (chain.c:41-80
+            # max_skip band semantics hold at any ring depth >= the
+            # row's true predecessor reach)
+            retry = [r for r in bad
+                     if flags_np[r] == F_KERNEL and not g.perm_host[r]]
+            if retry:
+                t0 = time.time()
+                qv = np.zeros(self.lanes, np.int32)
+                qv[retry] = 1
+                small2, full2 = self._step_group(
+                    g, pidx, qrank_d, qbisect_d, jnp.asarray(qv),
+                    rung, left, occ, jring=2 * J)
+                self.n_retry_steps += 1
+                flags2, ev_rows2 = self._unpack_pull(
+                    np.asarray(small2), full2)
+                for r in retry:
+                    flags_np[r] = flags2[r]
+                    ev_rows[r] = ev_rows2[r]
+                self.phase_s["step"] += time.time() - t0
+                bad2 = self._commit_rows(g, retry, flags_np, ev_rows,
+                                         progress)
+                bad = [r for r in bad if r not in retry] + bad2
             for r in bad:
                 if flags_np[r]:
                     self.flag_counts[int(flags_np[r])] += 1
@@ -1636,7 +1737,14 @@ class DeviceOverlapEngine:
         cfg = self.cfg
         m = cfg.map
         hidx = pidx.host_index()
-        mid_occ = m.mid_occ or int(pidx.mid_occ)
+        if m.mid_occ:
+            mid_occ = m.mid_occ
+        elif pidx.mid_occ is not None:
+            mid_occ = int(pidx.mid_occ)
+        else:
+            # host_only part: no device index exists — the host spec's
+            # own occurrence quantile (index.c:123-144)
+            mid_occ = hidx.mid_occ(m.mid_occ_frac)
         fopt = {"seq_lens": hidx.seq_lens,
                 "min_ratio": cfg.flt.min_ratio,
                 "max_overhang": cfg.flt.max_overhang}

@@ -72,11 +72,13 @@ def penalty_limbs(avg_qspan, bw):
     return np.array([(M >> (16 * j)) & 0xFFFF for j in range(5)], np.int32)
 
 
-def _iscan(x, op, identity, ages):
+def _iscan(x, op, identity, ages, J):
     """Inclusive scan over the sublane (age) axis, Hillis-Steele."""
-    for k in (1, 2, 4, 8, 16, 32):
+    k = 1
+    while k < J:
         sh = pltpu.roll(x, k, 0)
         x = op(x, jnp.where(ages > k, sh, identity))
+        k *= 2
     return x
 
 
@@ -153,7 +155,7 @@ def _make_kernel(J, CA, max_dist, bw, max_skip):
             sc0 = jnp.minimum(jnp.minimum(dq, dr), s_i)
             sc = jnp.where(valid, sc0 - pen + rf[:], NEGj)
 
-            inc = _iscan(sc, jnp.maximum, NEGj, ages)
+            inc = _iscan(sc, jnp.maximum, NEGj, ages, J)
             run_before = jnp.maximum(
                 jnp.where(ages > 1, pltpu.roll(inc, 1, 0), NEGj), s_i)
             newmax = valid & (sc > run_before)
@@ -162,32 +164,33 @@ def _make_kernel(J, CA, max_dist, bw, max_skip):
             rp_real = rp[:] > NEG + J + 1
 
             def marks_from(src_mask):
+                # ages-whose-slot-is-someone's-parent, via J/32 32-bit
+                # mark words (each word w covers target ages in
+                # (32w, 32w+32])
                 ok = (src_mask & rp_real
                       & (tgt_age >= 1) & (tgt_age <= J))
-                t0 = jnp.clip(tgt_age - 1, 0, 63)
+                t0 = jnp.clip(tgt_age - 1, 0, J - 1)
                 one = np.int32(1)
-                lo_bit = jnp.where(
-                    ok & (t0 < 32),
-                    jax.lax.shift_left(one, jnp.clip(t0, 0, 31)), 0)
-                hi_bit = jnp.where(
-                    ok & (t0 >= 32),
-                    jax.lax.shift_left(one, jnp.clip(t0 - 32, 0, 31)), 0)
-                lo_w = _or_reduce_rows(lo_bit)
-                hi_w = _or_reduce_rows(hi_bit)
-                sel = jnp.where(
-                    ages <= 32,
-                    jax.lax.shift_right_logical(
-                        lo_w, jnp.clip(ages - 1, 0, 31)),
-                    jax.lax.shift_right_logical(
-                        hi_w, jnp.clip(ages - 33, 0, 31)))
+                sel = jnp.zeros_like(tgt_age)
+                for wd in range(J // 32):
+                    bit = jnp.where(
+                        ok & (t0 >= 32 * wd) & (t0 < 32 * (wd + 1)),
+                        jax.lax.shift_left(
+                            one, jnp.clip(t0 - 32 * wd, 0, 31)), 0)
+                    word = _or_reduce_rows(bit)
+                    sel = jnp.where(
+                        (ages > 32 * wd) & (ages <= 32 * (wd + 1)),
+                        jax.lax.shift_right_logical(
+                            word, jnp.clip(ages - 1 - 32 * wd, 0, 31)),
+                        sel)
                 return (sel & 1) == 1
 
             def walk_cut(marks):
                 skipev = valid & ~newmax & marks
                 delta = jnp.where(skipev, np.int32(1),
                                   jnp.where(newmax, np.int32(-1), np.int32(0)))
-                S = _iscan(delta, jnp.add, np.int32(0), ages)
-                minS = _iscan(S, jnp.minimum, np.int32(2 ** 30), ages)
+                S = _iscan(delta, jnp.add, np.int32(0), ages, J)
+                minS = _iscan(S, jnp.minimum, np.int32(2 ** 30), ages, J)
                 walk = S - jnp.minimum(0, minS)
                 brk = skipev & (walk > max_skip)
                 return jnp.min(jnp.where(brk, ages, J + 1), axis=0,
@@ -327,7 +330,8 @@ def chain_dp_batch_pallas(ax_hi, ax_lo, aq, aspan, n_anchors, limbs,
     values to the scan version's carry; chunked and monolithic calls
     compose identically (differentially tested).
     """
-    assert J == 64, "mark bitmask words and _iscan are specialized to J=64"
+    assert J in (64, 128) and J % 32 == 0, \
+        "mark words and _iscan support J = 64 and the 128 escalation rung"
     f, p, v, *rest = _chain_dp_pallas_t(
         ax_hi.T, ax_lo.T, aq.T, aspan.T,
         n_anchors.reshape(1, -1), limbs, row_bad, carry_t,

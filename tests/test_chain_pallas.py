@@ -136,3 +136,61 @@ def test_pallas_chunk_resume():
     assert np.array_equal(np.asarray(p0), p1)
     assert np.array_equal(np.asarray(v0), v1)
     assert np.array_equal(np.asarray(fl0), fl1)
+
+
+def test_pallas_j128_unflags_repeat_dense_rows():
+    """Repeat-dense rows (every anchor within max_dist of every other)
+    overflow the J=64 predecessor ring and flag; the J=128 escalation
+    rung must clear most of them AND be bit-exact vs the sequential
+    host fill (chain.c:41-80 semantics, host_fill in test_chain)."""
+    from test_chain import host_fill
+
+    rng = np.random.RandomState(11)
+    Q, A, bw = 128, 256, 500
+    axh = np.zeros((Q, A), np.int32)
+    axl = np.zeros((Q, A), np.int32)
+    aqb = np.zeros((Q, A), np.int32)
+    asb = np.zeros((Q, A), np.int32)
+    nb = np.zeros((Q,), np.int32)
+    for r in range(Q):
+        # the truncation regime: >64 anchors inside max_dist whose
+        # pairings are mostly invalid (dd > bw), so no max_skip break
+        # ever bounds the scan — the reference walks all the way back
+        # (what (AT)n microsatellite reads produce); a thin diagonal
+        # subset keeps f/p/v nontrivial
+        n = rng.randint(70, 121)
+        nb[r] = n
+        pos = np.sort(rng.randint(0, 3000, n)).astype(np.int64)
+        q = rng.randint(0, 20000, n).astype(np.int64)
+        diag = rng.rand(n) < 0.2
+        q[diag] = np.clip(pos[diag] + rng.randint(-50, 50, diag.sum()),
+                          0, None)
+        axl[r, :n] = pos
+        aqb[r, :n] = q
+        asb[r, :n] = 12
+    limbs = np.zeros((5, Q), np.int32)
+    rbad = np.zeros((1, Q), np.int32)
+    for r in range(Q):
+        lb = penalty_limbs(12.0, bw)
+        assert lb is not None
+        limbs[:, r] = lb
+
+    _f64, _p64, _v64, fl64, _ = chain_dp_batch_pallas(
+        axh, axl, aqb, asb, nb, limbs, rbad, make_carry_pallas(Q, 64),
+        np.int32(0), J=64, interpret=True)
+    f, p, v, fl128, _ = chain_dp_batch_pallas(
+        axh, axl, aqb, asb, nb, limbs, rbad, make_carry_pallas(Q, 128),
+        np.int32(0), J=128, interpret=True)
+    assert fl64.sum() > Q // 2       # dense rows truncate the 64-ring
+    assert fl128.sum() < fl64.sum() // 4
+    for r in range(Q):
+        if fl128[r]:
+            continue
+        n = int(nb[r])
+        ax = axl[r, :n].astype(np.uint64)
+        ay = (np.uint64(12) << np.uint64(32)) | \
+            aqb[r, :n].astype(np.uint64)
+        fh, ph, vh = host_fill(ax, ay, 10000, bw, 25)
+        assert np.array_equal(np.asarray(f)[r, :n], fh)
+        assert np.array_equal(np.asarray(p)[r, :n], ph)
+        assert np.array_equal(np.asarray(v)[r, :n], vh)

@@ -183,3 +183,24 @@ def test_device2_wide_hash_multipart():
     rows_dev = eng.run(list(reads))
     assert rows_dev == rows_host
     assert eng.n_device_calls >= 2
+
+
+def test_device2_host_only_part_boundary():
+    """A part past the device-index ceiling must fall back to the exact
+    host path for the WHOLE part — rows identical, event counted (the
+    round-4 silent-scale-cliff gap: no published number ever crossed
+    the ceiling)."""
+    rng = np.random.RandomState(41)
+    genome = make_genome(rng, 20000)
+    reads = sample_reads(rng, genome, 90, min_len=600, max_len=1800,
+                         err=0.12, junk_frac=0.1)
+    queries = reads[:24]
+    cfg = _cfg()
+    rows_host = oh.overlap_run(list(reads), queries, cfg)
+    eng = DeviceOverlapEngine(cfg, queries)
+    # shrink the canonical-width ladder so this part overflows it
+    eng.n_idx_sizes = (1 << 10,)
+    rows_dev = eng.run(list(reads))
+    assert rows_dev == rows_host
+    assert eng.n_host_only_parts == 1
+    assert eng.n_host_fallback == len(queries)
