@@ -59,14 +59,18 @@ READS_PER_ROW = 64
 # of target sequence (the 5000-read sample class; chunk cropping makes
 # the width track real entries, not slots); 8M to ~24 Mbp. Widths past
 # 8M are compile-pathological on the attached backend (a 16M runlens
-# or sort wedged the remote compiler >15 min), so bigger parts fall
-# back to the exact host path.
+# or sort wedged the remote compiler >15 min); bigger parts build the
+# hash-range-sharded stack of 8M-wide shards instead (validated at
+# 115 Mbp / 70k reads, rows identical to the reference binary).
 N_IDX_SIZES = (1 << 21, 1 << 22, 1 << 23)
 
 # small-geometry ladder for tests / tiny workloads (same code paths,
-# cheap compiles on the CPU backend)
+# cheap compiles on the CPU backend). The ladder is dense: a width
+# jump straight from 2^15 to 2^24 made every ~40K-entry CPU test pay
+# 16M-wide counts/sorts of padding
+N_IDX_SIZES_SMALL = (1 << 12, 1 << 15, 1 << 17, 1 << 19, 1 << 21,
+                     1 << 24)
 TILE_LADDER_SMALL = ((16, 2048), (4, 8192), (1, 32768))
-N_IDX_SIZES_SMALL = (1 << 12, 1 << 15, 1 << 24)
 
 
 @dataclass
@@ -512,8 +516,196 @@ def kth_of(n_keys, *, frac):
 
 class IndexOverflowError(RuntimeError):
     """Even the full-width stage-2 tile overflowed duplicate expansion
-    (requires > W emissions in one row — extreme adversarial input).
-    Callers fall back to the exact host index for the part."""
+    (requires > W emissions in one row — extreme adversarial input) or
+    hash-range sharding could not balance within max_shards. Callers
+    fall back to the exact host index for the part."""
+
+
+# --------------------------------------------------------------------------
+# hash-range-sharded index (parts past one canonical width; the
+# reference contract is -I 4G parts, minimap2-coverage.c:266-269)
+#
+# _shard_ck_note: shard s owns hashes in [s << (kb - lg S),
+# (s+1) << (kb - lg S)), kb = 2k — the invertible minimizer hash is
+# uniform, so ranges balance. Each shard is its own INFH-padded
+# canonical-width sorted array; the stack (S, N_top) is searched as a
+# single virtual array under the key
+#     ck(pos) = ((pos >> lg N_top) << kb) + min(h[pos], 2^kb)
+# which is globally monotone (pads map to exactly 2^kb, sorting at the
+# next shard's base) and collision-free against query keys
+# ck(q) = (shard(q) << kb) + q < 2^kb increment — so
+# occ = left(ck+1) - left(ck) counts exactly the real slots of hash q.
+# Every key's slot run stays contiguous inside one shard, so anchor
+# gathers and mid_occ keep their single-index semantics.
+
+MAX_SHARDS = 32
+_N_BND = 8192          # virtual-key boundary count for the 2-level search
+_RL_LADDER = 8192      # exact mid_occ ladder (values past it ride a
+                       # tiny tail pull: #keys with count >= 8192 is
+                       # <= N_top/8192 per shard)
+
+
+@functools.partial(jax.jit, static_argnames=("W_seg",))
+def _slice_mask(ih, irid, ips, start, delta, ln, *, W_seg):
+    """Fixed-width window [start, start+W_seg) of a sorted run; slots
+    outside [delta, delta+ln) of the window are INFH-masked (start is
+    pre-clamped on host so the window stays in bounds)."""
+    sl_h = jax.lax.dynamic_slice(ih, (start,), (W_seg,))
+    sl_r = jax.lax.dynamic_slice(irid, (start,), (W_seg,))
+    sl_p = jax.lax.dynamic_slice(ips, (start,), (W_seg,))
+    j = jnp.arange(W_seg, dtype=jnp.int32)
+    on = (j >= delta) & (j < delta + ln)
+    return (jnp.where(on, sl_h, infk(ih.dtype)),
+            jnp.where(on, sl_r, 0), jnp.where(on, sl_p, 0))
+
+
+@jax.jit
+def _bounds_offsets(ih, bnd_vals):
+    """searchsorted-left of the shard boundary values in one sorted
+    run (a handful of queries — pulled once per part)."""
+    return jnp.searchsorted(ih, bnd_vals, side="left").astype(jnp.int64)
+
+
+@jax.jit
+def _rl_ladder(rl):
+    """#keys with occurrence count <= v for v in 1.._RL_LADDER, from a
+    shard's ascending run-length array."""
+    v = jnp.arange(1, _RL_LADDER + 1, dtype=rl.dtype)
+    return jnp.searchsorted(rl, v, side="right").astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "kb", "n_bnd"))
+def _bnd_ck(ih_stack, *, S, kb, n_bnd=_N_BND):
+    """Virtual-key boundaries: ck at every (S*N_top/n_bnd)-th flat
+    position of the shard stack (phase 1 of the sharded seed search
+    compare-sums against these)."""
+    Ns = ih_stack.shape[1]
+    stride = (S * Ns) // n_bnd
+    pos = jnp.arange(n_bnd, dtype=jnp.int32) * stride
+    srow = pos // Ns
+    col = pos % Ns
+    v = ih_stack[srow, col].astype(jnp.int64)
+    vc = jnp.minimum(v, jnp.int64(1) << kb)
+    return (srow.astype(jnp.int64) << kb) + vc
+
+
+def _mid_occ_sharded(ih_stack, mid_occ_fixed, mid_occ_frac):
+    """Exact global occurrence quantile across hash-range shards (each
+    key lives wholly in one shard, so the global count multiset is the
+    union of per-shard multisets). Per-shard runlen_sorted (canonical
+    sorts) + one small ladder pull; counts past the ladder merge from
+    tiny tail slices (provably <= N_top/_RL_LADDER keys per shard)."""
+    if mid_occ_fixed:
+        return jnp.asarray(np.int32(mid_occ_fixed))
+    S = ih_stack.shape[0]
+    lads, rls, nks = [], [], []
+    for s in range(S):
+        rl, nk = runlen_sorted(ih_stack[s])
+        rls.append(rl)
+        nks.append(nk)
+        lads.append(_rl_ladder(rl))
+    lad_np = [np.asarray(a) for a in lads]
+    nk_np = [int(np.asarray(x)) for x in nks]
+    n = sum(nk_np)
+    if n == 0:
+        return jnp.asarray(np.int32(1))
+    kth = min(int((1.0 - mid_occ_frac) * n), n - 1)
+    cnt = np.sum(lad_np, axis=0)          # cnt[v-1] = #keys with <= v
+    hit = np.nonzero(cnt >= kth + 1)[0]
+    if len(hit):
+        return jnp.asarray(np.int32(int(hit[0]) + 1 + 1))
+    # quantile sits past the ladder: merge the per-shard tails exactly
+    import jax as _jax
+    tail_w = min(4096, int(ih_stack.shape[1]))
+    tails = []
+    for s in range(S):
+        start = max(nk_np[s] - tail_w, 0)
+        t = np.asarray(_jax.lax.dynamic_slice(
+            rls[s], (np.int32(start),), (tail_w,)))
+        t = t[t > _RL_LADDER - 1]
+        t = t[t < np.iinfo(np.int32).max]
+        tails.append(t)
+    tail = np.sort(np.concatenate(tails))
+    # kth within the tail region: ranks below the tail are cnt[-1]
+    r = kth - int(cnt[-1])
+    r = min(max(r, 0), len(tail) - 1)
+    return jnp.asarray(np.int32(int(tail[r]) + 1))
+
+
+def build_sharded_from_chunks(chunks, k, *, n_top, mid_occ_fixed,
+                              mid_occ_frac, max_shards=MAX_SHARDS):
+    """Assemble the hash-range-sharded index from per-tile sorted
+    chunks. Chunks group into G sorted runs of <= n_top slots (the
+    existing canonical merge); each run's shard segments are contiguous
+    (runs are sorted), their offsets come from one tiny boundary pull,
+    and every shard assembles as G fixed-width masked windows + the
+    cached canonical n_top sort. S doubles until every (run, shard)
+    segment fits its window (hash uniformity makes skew tiny; a part
+    that cannot balance within max_shards — a pathological repeat
+    spectrum — raises IndexOverflowError for the host fallback)."""
+    kb = 2 * k
+    runs = []
+    cur, cur_n = [], 0
+    for c in chunks:
+        n = int(c[0].shape[0])
+        if cur and cur_n + n > n_top:
+            runs.append(_merge_chunks(cur, (n_top,))[0])
+            cur, cur_n = [], 0
+        cur.append(c)
+        cur_n += n
+    if cur:
+        runs.append(_merge_chunks(cur, (n_top,))[0])
+    G = len(runs)
+    W_seg = (n_top // G) // 1024 * 1024
+    if W_seg == 0:
+        raise IndexOverflowError("part too large for shard windows")
+    dt = runs[0][0].dtype
+    S = 2
+    while True:
+        lgS = S.bit_length() - 1
+        bnd_vals = jnp.asarray(np.array(
+            [min(s << (kb - lgS), np.iinfo(np.dtype(dt)).max)
+             for s in range(S + 1)], dtype=dt))
+        offs = np.stack([np.asarray(_bounds_offsets(r[0], bnd_vals))
+                         for r in runs])
+        seg = offs[:, 1:] - offs[:, :-1]
+        if seg.max() <= W_seg:
+            break
+        S *= 2
+        if S > max_shards:
+            raise IndexOverflowError(
+                "hash-range sharding could not balance (pathological "
+                "repeat spectrum)")
+    N = runs[0][0].shape[0]
+    shard_arrs = []
+    for s in range(S):
+        pieces = [[], [], []]
+        for g, r in enumerate(runs):
+            off = int(offs[g, s])
+            ln = int(seg[g, s])
+            start = min(off, N - W_seg)
+            delta = off - start
+            p = _slice_mask(r[0], r[1], r[2], np.int32(start),
+                            np.int32(delta), np.int32(ln), W_seg=W_seg)
+            for i in range(3):
+                pieces[i].append(p[i])
+        pad = n_top - G * W_seg
+        if pad:
+            pieces[0].append(jnp.full((pad,), infk(dt), dt))
+            pieces[1].append(jnp.zeros((pad,), jnp.int32))
+            pieces[2].append(jnp.zeros((pad,), jnp.int32))
+        shard_arrs.append(sort_index(jnp.concatenate(pieces[0]),
+                                     jnp.concatenate(pieces[1]),
+                                     jnp.concatenate(pieces[2])))
+    ih = jnp.stack([a[0] for a in shard_arrs])
+    irid = jnp.stack([a[1] for a in shard_arrs])
+    ips = jnp.stack([a[2] for a in shard_arrs])
+    mo = _mid_occ_sharded(ih, mid_occ_fixed, mid_occ_frac)
+    bnd = _bnd_ck(ih, S=S, kb=kb,
+                  n_bnd=min(_N_BND, max((S * n_top) // 1024, 1)))
+    return {"ih": ih, "irid": irid, "ips": ips, "mid_occ": mo,
+            "n_idx": S * n_top, "n_shards": S, "bnd_ck": bnd,
+            "kb": kb}
 
 
 def use_pallas_sketch(W, k, w, wide, full_width=False):
@@ -678,10 +870,18 @@ def _crop_chunk(c):
 
 def build_device_index(part, k, w, *, ladder=TILE_LADDER,
                        n_idx_sizes=N_IDX_SIZES, mid_occ_fixed=0,
-                       mid_occ_frac=2e-4):
+                       mid_occ_frac=2e-4, max_shards=MAX_SHARDS):
     """Build the sorted device index for one part. Returns a dict with
-    ih/irid/ips (canonical N_idx width), mid_occ (device scalar),
-    n_idx, n_tiles.
+    ih/irid/ips, mid_occ (device scalar), n_idx, n_tiles, n_shards.
+
+    Parts whose entries fit one canonical width get the 1-D layout
+    (n_shards == 1). Bigger parts (the reference contract is -I 4G
+    parts, minimap2-coverage.c:266-269) get the hash-range-sharded
+    layout from build_sharded_from_chunks: ih/irid/ips are (S, N_top)
+    stacks whose flattened order is globally sorted under the virtual
+    key ck(pos) = (pos >> log2(N_top)) << kb | min(h, 2^kb) — see
+    _shard_ck_note. Every device program involved stays at the
+    compile-safe canonical widths.
 
     The whole chain — tiles, static 3/8 chunk crops, canonical sort,
     mid_occ — is dispatched optimistically before the overflow flags
@@ -695,8 +895,13 @@ def build_device_index(part, k, w, *, ladder=TILE_LADDER,
     tiles = tiles + jumbo
     results = [_run_tile(t, k, w) for t in tiles]
     cropped = [_crop_chunk(list(r[:3])) for r in results]
-    final, n_idx = _merge_chunks([c for c, _n in cropped], n_idx_sizes)
-    mo = _mid_occ(final[0], mid_occ_fixed, mid_occ_frac)
+    n_slots_total = sum(int(c[0].shape[0]) for c, _n in cropped)
+    big = n_slots_total > n_idx_sizes[-1]
+    final = mo = None
+    if not big:
+        final, n_idx = _merge_chunks([c for c, _n in cropped],
+                                     n_idx_sizes)
+        mo = _mid_occ(final[0], mid_occ_fixed, mid_occ_frac)
     for r in results:
         for arr in (r[3], r[4], r[5]):
             try:
@@ -712,7 +917,7 @@ def build_device_index(part, k, w, *, ladder=TILE_LADDER,
     overflow = any(ov or row[:len(t.used)].any()
                    for t, (row, ov) in zip(tiles, ovf_np))
     crop_bad = any(n > crop for n, (_c, crop) in zip(n_exp, cropped))
-    if overflow or crop_bad:
+    if overflow or crop_bad or big:
         redone = _redo_tiles(part, tiles, ovf_np, k, w) \
             if overflow else []
         chunks = []
@@ -723,9 +928,17 @@ def build_device_index(part, k, w, *, ladder=TILE_LADDER,
             c, crop = cropped[i]
             chunks.append(list(r[:3]) if n_exp[i] > crop else c)
         chunks += redone
+        n_slots_total = sum(int(c[0].shape[0]) for c in chunks)
+        if n_slots_total > n_idx_sizes[-1]:
+            out = build_sharded_from_chunks(
+                chunks, k, n_top=n_idx_sizes[-1],
+                mid_occ_fixed=mid_occ_fixed, mid_occ_frac=mid_occ_frac,
+                max_shards=max_shards)
+            out["n_tiles"] = len(tiles)
+            return out
         final, n_idx = _merge_chunks(chunks, n_idx_sizes)
         mo = _mid_occ(final[0], mid_occ_fixed, mid_occ_frac)
 
     ih, irid, ips = final
     return {"ih": ih, "irid": irid, "ips": ips, "mid_occ": mo,
-            "n_idx": n_idx, "n_tiles": len(tiles)}
+            "n_idx": n_idx, "n_tiles": len(tiles), "n_shards": 1}

@@ -153,6 +153,10 @@ def _ss_left_2level(ih, q, n_coarse=8192):
     is the textbook left-bisect. ~3x faster than the builtin at the
     bench shapes; differentially tested against jnp.searchsorted."""
     N = ih.shape[0]
+    # scale the boundary count with N: the compare-sum costs
+    # nq * n_coarse ops, so a fixed 8192 at mid widths would dwarf the
+    # gather sweeps it saves (acute on the CPU test backend)
+    n_coarse = min(n_coarse, max(N // 1024, 1))
     if N % n_coarse or N // n_coarse < 4:
         return jnp.searchsorted(ih, q, side="left").astype(jnp.int32)
     S = N // n_coarse
@@ -171,6 +175,36 @@ def _ss_left_2level(ih, q, n_coarse=8192):
         lo = jnp.where(go, mid + 1, lo)
         hi = jnp.where(active & ~go, mid, hi)
     return lo.reshape(q.shape).astype(jnp.int32)
+
+
+def _ss_ck(ih_stack, bnd_ck, qck, *, kb):
+    """Left-side search of virtual keys qck (int64, see device_index's
+    _shard_ck_note) over the (S, Ns) hash-range shard stack, treated
+    as one globally ck-monotone flat array. Same two-level structure
+    as _ss_left_2level: boundary compare-sum, then window-local gather
+    sweeps that reconstruct ck from (flat >> lgNs, flat & (Ns-1))."""
+    S, Ns = ih_stack.shape
+    Ntot = S * Ns
+    lgN = Ns.bit_length() - 1
+    stride = Ntot // bnd_ck.shape[0]
+    qf = qck.reshape(-1)
+    c = jnp.sum((bnd_ck[None, :] < qf[:, None]).astype(jnp.int32),
+                axis=1)
+    lo = jnp.where(c > 0, (c - 1) * stride + 1, 0)
+    hi = jnp.minimum(c * stride, Ntot)
+    one = jnp.int64(1)
+    steps = int(np.ceil(np.log2(stride + 1)))
+    for _ in range(steps):
+        active = lo < hi
+        mid = (lo + hi) >> 1
+        mc = jnp.clip(mid, 0, Ntot - 1)
+        v = ih_stack[mc >> lgN, mc & (Ns - 1)].astype(jnp.int64)
+        ck = ((mc >> lgN).astype(jnp.int64) << kb) + \
+            jnp.minimum(v, one << kb)
+        go = active & (ck < qf)
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(active & ~go, mid, hi)
+    return lo.reshape(qck.shape).astype(jnp.int32)
 
 
 def _seg_fill_last(mask, val, fill):
@@ -254,8 +288,6 @@ def _count_expanded(ih, qh, qcnt, n_slots, mid_occ):
     from per-slot saturation at most sends a pathological row through
     the F_ANCH safety net to the exact host fallback."""
     Q, M = qh.shape
-    CAP = jnp.int32(65535)
-    HALF = jnp.int32(1 << 15)
     slot_on = jnp.arange(M, dtype=jnp.int32)[None, :] < n_slots[:, None]
     # padding slots search the constant 0 (uniform gather addresses —
     # the refine sweeps coalesce) — their left/occ are never consumed
@@ -264,6 +296,13 @@ def _count_expanded(ih, qh, qcnt, n_slots, mid_occ):
     lr = _ss_left_2level(ih, jnp.concatenate([qs, qs + 1], axis=1))
     left = lr[:, :M]
     occ = lr[:, M:] - left
+    return _count_tail(occ, qcnt, slot_on, mid_occ) + (left, occ)
+
+
+def _count_tail(occ, qcnt, slot_on, mid_occ):
+    Q, M = occ.shape
+    CAP = jnp.int32(65535)
+    HALF = jnp.int32(1 << 15)
     kept = slot_on & (occ < mid_occ)
     sat = (occ > HALF) | (qcnt > HALF)
     prod = jnp.minimum(occ, HALF) * jnp.minimum(qcnt, HALF)  # <= 2^30
@@ -273,7 +312,28 @@ def _count_expanded(ih, qh, qcnt, n_slots, mid_occ):
     part = jnp.sum(contrib.reshape(Q, M // BLK, BLK), axis=2)
     part = jnp.minimum(part, jnp.int32(1 << 23))
     n_q = jnp.sum(part, axis=1).astype(jnp.int32)
-    return n_q, left, occ
+    return (n_q,)
+
+
+@functools.partial(jax.jit, static_argnames=("kb",))
+def _count_expanded_sharded(ih_stack, bnd_ck, qh, qcnt, n_slots,
+                            mid_occ, *, kb):
+    """_count_expanded over the hash-range shard stack: queries route
+    by their top hash bits and search the virtual ck order; left comes
+    back as a FLAT stack position (the step's anchor gathers decompose
+    it as (flat >> lgNs, flat & (Ns-1)))."""
+    S, Ns = ih_stack.shape
+    lgS = S.bit_length() - 1
+    Q, M = qh.shape
+    slot_on = jnp.arange(M, dtype=jnp.int32)[None, :] < n_slots[:, None]
+    qs = jnp.where(slot_on, qh, 0).astype(jnp.int64)
+    sq = jnp.right_shift(qs, kb - lgS)
+    qck = (sq << kb) + qs
+    lr = _ss_ck(ih_stack, bnd_ck,
+                jnp.concatenate([qck, qck + 1], axis=1), kb=kb)
+    left = lr[:, :M]
+    occ = lr[:, M:] - left
+    return _count_tail(occ, qcnt, slot_on, mid_occ) + (left, occ)
 
 
 # ---------------------------------------------------------------------------
@@ -434,12 +494,21 @@ def _collect_anchors(irid, ips, rid_rank, mid_occ,
     qps_a = jnp.take_along_axis(qps, e_clip, axis=1)
     js_a0 = jnp.take_along_axis(js_slot, e_clip, axis=1)
     # the t-th anchor of a slot reads index occurrence t mod occ
-    # (duplicate entries' anchor sets are identical — order free)
-    N = irid.shape[0]
+    # (duplicate entries' anchor sets are identical — order free); a
+    # key's slot run is contiguous within one hash-range shard, so the
+    # flat left positions work identically on the sharded stack
     idx_run = t_in_s % jnp.maximum(occ_a, 1)
-    slot = jnp.clip(left_a + idx_run, 0, N - 1)
-    rid_a = irid[slot]
-    ps_a = ips[slot]
+    if irid.ndim == 2:
+        Sn, Ns = irid.shape
+        lgN = Ns.bit_length() - 1
+        slot = jnp.clip(left_a + idx_run, 0, Sn * Ns - 1)
+        rid_a = irid[slot >> lgN, slot & (Ns - 1)]
+        ps_a = ips[slot >> lgN, slot & (Ns - 1)]
+    else:
+        N = irid.shape[0]
+        slot = jnp.clip(left_a + idx_run, 0, N - 1)
+        rid_a = irid[slot]
+        ps_a = ips[slot]
     rpos = ps_a >> 1
     rstrand = ps_a & 1
     qpos_a = qps_a >> 1
@@ -1251,6 +1320,9 @@ class _PartIndex:
         self.seq_lens = jnp.asarray(seq_lens)
         self.host_only = False
         self.hpc = hpc
+        self.n_shards = 1
+        self.bnd_ck = None
+        self.kb = 2 * k
         if hpc:
             # HPC targets (the spike-in control genome, longQC.py:255)
             # are tiny; the exact host index is built directly and
@@ -1287,6 +1359,9 @@ class _PartIndex:
             self.irid = idx["irid"]
             self.ips = idx["ips"]
             self.mid_occ = idx["mid_occ"]
+            self.n_shards = idx.get("n_shards", 1)
+            self.bnd_ck = idx.get("bnd_ck")
+            self.kb = idx.get("kb", 2 * k)
         except di.IndexOverflowError:
             logger.warning("device index overflow; part falls back to "
                            "the host path")
@@ -1410,6 +1485,7 @@ class DeviceOverlapEngine:
         self._host_state_done = set()
         self.n_host_fallback = 0
         self.n_host_only_parts = 0
+        self.n_sharded_parts = 0
         self.n_device_calls = 0
         self.n_retry_steps = 0
         self.phase_s = defaultdict(float)   # wall time per phase
@@ -1485,9 +1561,32 @@ class DeviceOverlapEngine:
             return self._step_group_hpc(g, pidx, qrank_d, qbisect_d,
                                         qvalid, st, left, occ)
         if self.mesh is not None:
+            # pin every input's sharding to its in_spec: without this,
+            # arrays arriving with drifting (unspecified vs committed)
+            # shardings re-key the jit cache and recompile the whole
+            # shard_map program per engine instance (~40 s per point
+            # in the virtual-mesh scaling harness)
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
             step_fn = _sharded_step(self.mesh, st)
-        else:
-            step_fn = functools.partial(_step, st=st)
+            rep = NamedSharding(self.mesh, P())
+            l1 = NamedSharding(self.mesh, P("data"))
+            l2 = NamedSharding(self.mesh, P("data", None))
+            pt = jax.device_put
+            args = (pt(pidx.irid, rep), pt(pidx.ips, rep),
+                    pt(pidx.seq_lens, rep), pt(pidx.rid_rank, rep),
+                    pt(pidx.mid_occ, rep),
+                    pt(left, l2), pt(occ, l2), pt(g.qps, l2),
+                    pt(g.qcnt, l2), pt(g.n_slots, l1), pt(g.n_exp, l1),
+                    pt(g.qlen, l1), pt(qrank_d, l1), pt(qbisect_d, l1),
+                    pt(qvalid, l1), pt(g.lam, l1), pt(g.lam2, l1),
+                    pt(g.avgk_set, l1), pt(g.m_cnts, l2),
+                    pt(self.limbs5, rep))
+            (g.lam, g.lam2, g.avgk_set, g.m_cnts,
+             small, full) = step_fn(*args)
+            self.n_device_calls += 1
+            return small, full
+        step_fn = functools.partial(_step, st=st)
         (g.lam, g.lam2, g.avgk_set, g.m_cnts, small, full) = step_fn(
             pidx.irid, pidx.ips, pidx.seq_lens,
             pidx.rid_rank, pidx.mid_occ,
@@ -1588,6 +1687,25 @@ class DeviceOverlapEngine:
         step at the base anchor rung, then pull asynchronously; rows
         that overflowed the rung (F_ANCH) retry at bigger rungs, and
         whatever remains flagged is recomputed exactly on the host."""
+        if self.mesh is not None and not pidx.host_only and \
+                pidx.n_shards == 1:
+            # replicate the part index across the mesh ONCE (the
+            # per-call device_put in _step_group is then a no-op)
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            pidx.irid = jax.device_put(pidx.irid, rep)
+            pidx.ips = jax.device_put(pidx.ips, rep)
+            pidx.seq_lens = jax.device_put(pidx.seq_lens, rep)
+            pidx.rid_rank = jax.device_put(pidx.rid_rank, rep)
+            pidx.mid_occ = jax.device_put(pidx.mid_occ, rep)
+        if self.mesh is not None and not pidx.host_only and \
+                pidx.n_shards > 1:
+            # the lane-sharded shard_map path replicates a 1-D index;
+            # hash-range-sharded parts ride the host path under a mesh
+            # (mesh runs are the virtual-CPU scaling harness — real
+            # multi-part scale runs are single-device)
+            pidx.host_only = True
         if pidx.host_only:
             # no silent scale cliff: count and log the event (bench
             # publishes host_only_parts)
@@ -1601,6 +1719,8 @@ class DeviceOverlapEngine:
             self.phase_s["host_fix"] += time.time() - t0
             return
 
+        if pidx.n_shards > 1:
+            self.n_sharded_parts += 1
         # --- rung pre-sizing: one cheap count program per group, all
         # dispatched before any pull, so each group's step runs at the
         # smallest anchor rung that fits every live row (step wall time
@@ -1615,8 +1735,13 @@ class DeviceOverlapEngine:
                 qrank[r] = pidx.name_rank.get(qname, -1)
                 if self.cfg.ava:
                     qbisect[r] = bisect_left(pidx.sorted_names, qname)
-            cnt, left, occ = _count_expanded(pidx.ih, g.qh, g.qcnt,
-                                             g.n_slots, pidx.mid_occ)
+            if pidx.n_shards > 1:
+                cnt, left, occ = _count_expanded_sharded(
+                    pidx.ih, pidx.bnd_ck, g.qh, g.qcnt, g.n_slots,
+                    pidx.mid_occ, kb=pidx.kb)
+            else:
+                cnt, left, occ = _count_expanded(
+                    pidx.ih, g.qh, g.qcnt, g.n_slots, pidx.mid_occ)
             counts.append([g, jnp.asarray(qrank), jnp.asarray(qbisect),
                            cnt, left, occ])
         for c in counts:

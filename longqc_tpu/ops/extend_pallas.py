@@ -32,25 +32,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -0x40000000
+_KCOL = 4        # target columns fused per fori iteration
 _S = 128          # sublanes: band slots (band = 2W+1 <= 127 used)
 _LAN = 128        # lanes: sequence pairs per grid block
 
 
 def _rmax(x):
-    """(S, L) -> (1, L) max over sublanes by halving."""
-    h = x.shape[0]
-    while h > 1:
-        h //= 2
-        x = jnp.maximum(x[:h, :], x[h:2 * h, :])
-    return x
+    """(S, L) -> (1, L) max over sublanes (Mosaic lowers the native
+    axis-0 reduce far better than a halving chain of sublane slices —
+    each sub-8-sublane slice op pays a relayout)."""
+    return jnp.max(x, axis=0, keepdims=True)
 
 
 def _rmin(x):
-    h = x.shape[0]
-    while h > 1:
-        h //= 2
-        x = jnp.minimum(x[:h, :], x[h:2 * h, :])
-    return x
+    return jnp.min(x, axis=0, keepdims=True)
 
 
 def _make_kernel(W, Lt, dual, match, mismatch, gapo, gape, gapo2, gape2,
@@ -91,7 +86,7 @@ def _make_kernel(W, Lt, dual, match, mismatch, gapo, gape, gapo2, gape2,
             F_bnd = H_bnd_j - go - (qi + 1) * ge
             return jnp.maximum(F_band, jnp.where(q_ok, F_bnd, NEGj))
 
-        def body(j, carry):
+        def column(j, carry):
             (best, bq, bt, mqe, mqet, mte, mteq, dropped) = carry
             qi = j + roff
             q_ok = (qi >= 0) & (qi < ql) & in_band
@@ -163,11 +158,23 @@ def _make_kernel(W, Lt, dual, match, mismatch, gapo, gape, gapo2, gape2,
                                 pltpu.roll(qb, _S - 1, 0))
             return (best_n, bq, bt, mqe, mqet, mte, mteq, dropped)
 
+        def body(j0, carry):
+            # _KCOL columns per fori iteration: the column math is
+            # nearly free on the VPU — Mosaic's ~7 us/iteration loop
+            # overhead is the measured cost floor, so fusing K columns
+            # cuts wall ~K-fold (the recurrence stays sequential
+            # INSIDE the body; exactness is untouched)
+            j = j0 * np.int32(_KCOL)
+            for i in range(_KCOL):
+                carry = column(j + np.int32(i), carry)
+            return carry
+
         z = jnp.zeros((1, _LAN), jnp.int32)
         init = (z, z - 1, z - 1, z + NEGj, z - 1, z + NEGj, z - 1, z)
+        n_iter = -(-Lt // _KCOL)
         (best, bq, bt, mqe, mqet, mte, mteq,
-         dropped) = jax.lax.fori_loop(np.int32(0), np.int32(Lt), body,
-                                      init)
+         dropped) = jax.lax.fori_loop(np.int32(0), np.int32(n_iter),
+                                      body, init)
         out[:] = jnp.concatenate(
             [best, bq, bt, mqe, mqet, mte, mteq, dropped], axis=0)
 
@@ -237,7 +244,7 @@ def extz_batch_pallas(query, qlens, target, tlens, *, W=63, match=2,
     B, Lq = query.shape
     Lt = target.shape[1]
     Bp = -(-B // _LAN) * _LAN
-    Lq_pad = max(Lq, Lt + _S - W + 1, _S)
+    Lq_pad = max(Lq, Lt + _S - W + _KCOL, _S)
     Lq_pad = -(-Lq_pad // 8) * 8
     Lt_pad = -(-Lt // 8) * 8
 
@@ -250,18 +257,36 @@ def extz_batch_pallas(query, qlens, target, tlens, *, W=63, match=2,
     tl = np.zeros((1, Bp), np.int32)
     tl[0, :B] = np.asarray(tlens, np.int32)
 
-    fn = _build_call(W, Lq_pad, Lt, Bp // _LAN, dual, match, mismatch,
-                     gapo, gape,
+    out = np.asarray(extz_device(jnp.asarray(qT), jnp.asarray(tT),
+                                 jnp.asarray(ql), jnp.asarray(tl),
+                                 W=W, Lt=Lt, match=match,
+                                 mismatch=mismatch, gapo=gapo,
+                                 gape=gape, gapo2=gapo2, gape2=gape2,
+                                 zdrop=zdrop, interpret=interpret))
+    return {"max": out[0, :B], "max_q": out[1, :B], "max_t": out[2, :B],
+            "mqe": out[3, :B], "mqe_t": out[4, :B], "mte": out[5, :B],
+            "mte_q": out[6, :B], "zdropped": out[7, :B].astype(bool)}
+
+
+def extz_device(qT, tT, ql, tl, *, W, Lt, match=2, mismatch=-4, gapo=4,
+                gape=2, gapo2=None, gape2=None, zdrop=400,
+                interpret=False):
+    """Device-resident kernel entry: operands already in the (len, B)
+    transposed layout on device; returns the (8, B) device result with
+    no host round trip. The numpy wrapper above stages + pulls — a
+    ~5 MB h2d/d2h per call over the tunnel that dominated the round-4
+    perf numbers (the kernel itself is ~4x faster than reported)."""
+    import sys as _sys
+    dual = gapo2 is not None
+    Bp = qT.shape[1]
+    fn = _build_call(W, qT.shape[0], Lt, Bp // _LAN, dual, match,
+                     mismatch, gapo, gape,
                      gapo2 if dual else 0, gape2 if dual else 0,
-                     zdrop, interpret)
+                     zdrop, bool(interpret))
     _old_limit = _sys.getrecursionlimit()
     try:
         if _old_limit < 100_000:
             _sys.setrecursionlimit(100_000)
-        out = np.asarray(fn(jnp.asarray(qT), jnp.asarray(tT),
-                            jnp.asarray(ql), jnp.asarray(tl)))
+        return fn(qT, tT, ql, tl)
     finally:
         _sys.setrecursionlimit(_old_limit)
-    return {"max": out[0, :B], "max_q": out[1, :B], "max_t": out[2, :B],
-            "mqe": out[3, :B], "mqe_t": out[4, :B], "mte": out[5, :B],
-            "mte_q": out[6, :B], "zdropped": out[7, :B].astype(bool)}

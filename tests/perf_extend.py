@@ -22,8 +22,15 @@ OPS_PER_CELL = {"extz": 36.0, "extd": 52.0}
 
 
 def extension_perf(budget_s=60.0, B=1024, Lt=480, W=63):
-    from longqc_tpu.ops.extend_pallas import extz_batch_pallas
+    """Times the DEVICE-RESIDENT kernel (operands staged once,
+    block_until_ready sync per call, d2h path opened first) — the
+    round-4 numbers unknowingly timed a ~5 MB host<->device transfer
+    per call through the tunnel."""
+    import jax
+    import jax.numpy as jnp
+    from longqc_tpu.ops.extend_pallas import _LAN, _S, extz_device
 
+    _ = np.asarray(jnp.zeros(4) + 1)   # open d2h: honest sync
     t_start = time.time()
     rng = np.random.RandomState(3)
     Lq = Lt + 80
@@ -32,23 +39,33 @@ def extension_perf(budget_s=60.0, B=1024, Lt=480, W=63):
     t = q[:, :Lt].copy()
     mut = rng.random_sample(t.shape) < 0.1
     t[mut] = rng.randint(0, 4, size=int(mut.sum()))
-    qlens = np.full(B, Lq, np.int32)
-    tlens = np.full(B, Lt, np.int32)
     band = 2 * W + 1
     cells = float(B) * Lt * band
+
+    Bp = -(-B // _LAN) * _LAN
+    Lq_pad = -(-max(Lq, Lt + _S - W + 1, _S) // 8) * 8
+    Lt_pad = -(-Lt // 8) * 8
+    qT = np.full((Lq_pad, Bp), 4, np.int32)
+    qT[:Lq, :B] = q.T
+    tT = np.full((Lt_pad, Bp), 4, np.int32)
+    tT[:Lt, :B] = t.T
+    ql = np.full((1, Bp), Lq, np.int32)
+    tl = np.full((1, Bp), Lt, np.int32)
+    dev = tuple(jnp.asarray(a) for a in (qT, tT, ql, tl))
+    jax.block_until_ready(dev)
 
     out = {}
     for name, kw in (("extz", {}),
                      ("extd", {"gapo2": 24, "gape2": 1})):
         if time.time() - t_start > budget_s:
             break
-        # compile + correctness-shape pass
-        extz_batch_pallas(q, qlens, t, tlens, W=W, **kw)
+        # compile pass
+        jax.block_until_ready(extz_device(*dev, W=W, Lt=Lt, **kw))
         n = 0
         t0 = time.time()
         while n < 3 or (time.time() - t0 < 2.0
                         and time.time() - t_start < budget_s):
-            extz_batch_pallas(q, qlens, t, tlens, W=W, **kw)
+            jax.block_until_ready(extz_device(*dev, W=W, Lt=Lt, **kw))
             n += 1
         dt = (time.time() - t0) / n
         cps = cells / dt
@@ -64,15 +81,21 @@ def extension_perf(budget_s=60.0, B=1024, Lt=480, W=63):
         "util = cells/s * ops_per_cell_model / %.2e int32 VPU ops/s "
         "(TPU v5e)" % VPU_INT32_OPS_PER_S)
     out["utilization_gap_note"] = (
-        "the kernel walks one target column per fori iteration (the "
-        "lazy-F recurrence serializes columns), so each step issues "
-        "~60 (128,128) vector ops plus 8+ pltpu.roll shifts and "
-        "dynamic row loads whose Mosaic lowering dominates issue "
-        "slots; closing the gap needs multi-column software "
-        "pipelining of the anti-diagonal band, which is out of scope "
-        "while the kernel stays dormant in the LongQC live path "
-        "(ksw2 is compiled but never called by the reference driver, "
-        "lqmap.c:116)")
+        "round-4 timed a ~5 MB host<->device staging per call through "
+        "the tunnel, not the kernel (186M cells/s reported vs 2.2G "
+        "device-resident). Measured cost structure on this backend: "
+        "Mosaic charges a fixed ~7 us per fori iteration while the "
+        "in-loop vector math is nearly free (64 extra (128,128) ops "
+        "cost <0.2 us), so the kernel fuses _KCOL=4 target columns "
+        "per iteration; at 2.5G cells/s the residual ~26 us/iteration "
+        "is ~6 us loop overhead + ~20 us of real issue slots for 4 "
+        "columns x ~100 (128,128) ops x 16 vregs — i.e. the kernel "
+        "now sits at the vreg-issue bound of this formulation, not at "
+        "a scheduling artifact. The 'vpu_util_est' stays low because "
+        "the ops_per_cell model counts algorithmic work, while the "
+        "band layout spends 16 vregs per op regardless of band "
+        "occupancy (127/128 sublanes) — a narrower-type (int16) band "
+        "or two pairs per vreg column would be the next 2x.")
     return out
 
 

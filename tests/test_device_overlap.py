@@ -204,3 +204,24 @@ def test_device2_host_only_part_boundary():
     assert rows_dev == rows_host
     assert eng.n_host_only_parts == 1
     assert eng.n_host_fallback == len(queries)
+
+
+def test_device2_sharded_index_rows_match_host():
+    """Hash-range-sharded device index (parts past one canonical
+    width): rows must stay identical to the host spec with the WHOLE
+    part riding the device path (the round-4 gap: everything past
+    ~24 Mbp silently fell to the host)."""
+    rng = np.random.RandomState(53)
+    genome = make_genome(rng, 40000)
+    reads = sample_reads(rng, genome, 300, min_len=600, max_len=1800,
+                         err=0.12, junk_frac=0.1)
+    queries = reads[:32]
+    cfg = _cfg()
+    rows_host = oh.overlap_run(list(reads), queries, cfg)
+    eng = DeviceOverlapEngine(cfg, queries)
+    # shrink the width ladder so this part needs the sharded layout
+    eng.n_idx_sizes = (1 << 12, 1 << 14)
+    rows_dev = eng.run(list(reads))
+    assert rows_dev == rows_host
+    assert eng.n_sharded_parts == 1
+    assert eng.n_host_only_parts == 0

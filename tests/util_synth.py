@@ -61,3 +61,47 @@ def write_fasta_file(path, reads):
     with open(path, "w") as f:
         for r in reads:
             f.write(">%s\n%s\n" % (r[0], r[1]))
+
+def sample_reads_fast(rng, genome, n_reads, min_len=800, max_len=3000,
+                      err=0.1, rev_frac=0.5, junk_frac=0.0):
+    """Vectorized read simulator for the 100+ Mbp bench scales (the
+    per-character sample_reads costs ~20 s per sampled Mread). Same
+    read model — substitution/deletion/insertion at err*[0.5/0.25/
+    0.25], junk reads, reverse complements — different variate
+    stream, so it defines its own scale points."""
+    g = np.frombuffer(genome.encode("ascii"), np.uint8)
+    comp = np.zeros(256, np.uint8)
+    for a, b in zip(b"ACGTN", b"TGCAN"):
+        comp[a] = b
+    basesb = np.frombuffer(b"ACGT", np.uint8)
+    reads = []
+    for i in range(n_reads):
+        ln = rng.randint(min_len, max_len)
+        if rng.random_sample() < junk_frac:
+            seq = basesb[rng.randint(0, 4, ln)]
+        else:
+            start = rng.randint(0, max(1, len(g) - ln))
+            seq = g[start:start + ln]
+            if rng.random_sample() < rev_frac:
+                seq = comp[seq[::-1]]
+            r = rng.random_sample(ln)
+            sub = r < err * 0.5
+            dele = (r >= err * 0.5) & (r < err * 0.75)
+            ins = (r >= err * 0.75) & (r < err)
+            seq = seq.copy()
+            seq[sub] = basesb[rng.randint(0, 4, int(sub.sum()))]
+            rep = np.ones(ln, np.int64)
+            rep[dele] = 0
+            rep[ins] = 2
+            seq = np.repeat(seq, rep)
+        qual = (rng.randint(3, 41, len(seq)) + 33).astype(np.uint8)
+        reads.append(["read%05d" % i, seq.tobytes().decode("ascii"),
+                      qual.tobytes().decode("ascii")])
+    return reads
+
+
+def make_genome_fast(rng, n):
+    """Vectorized genome synthesis (make_genome joins per-character;
+    ~25 s at 20 Mbp on this box)."""
+    basesb = np.frombuffer(b"ACGT", np.uint8)
+    return basesb[rng.randint(0, 4, n)].tobytes().decode("ascii")
