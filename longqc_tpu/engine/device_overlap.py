@@ -1813,19 +1813,22 @@ class DeviceOverlapEngine:
                                          progress)
                 bad = [r for r in bad if r not in retry] + bad2
             # F_KERNEL escalation: rows whose J=64 predecessor ring
-            # truncated (repeat-dense anchor runs) retry once at the
-            # J=128 rung before the host fallback (chain.c:41-80
+            # truncated (repeat-dense anchor runs) retry at the J=128
+            # then J=256 rungs before the host fallback (chain.c:41-80
             # max_skip band semantics hold at any ring depth >= the
             # row's true predecessor reach)
-            retry = [r for r in bad
-                     if flags_np[r] == F_KERNEL and not g.perm_host[r]]
-            if retry:
+            for jring in (2 * J, 4 * J):
+                retry = [r for r in bad
+                         if flags_np[r] == F_KERNEL
+                         and not g.perm_host[r]]
+                if not retry:
+                    break
                 t0 = time.time()
                 qv = np.zeros(self.lanes, np.int32)
                 qv[retry] = 1
                 small2, full2 = self._step_group(
                     g, pidx, qrank_d, qbisect_d, jnp.asarray(qv),
-                    rung, left, occ, jring=2 * J)
+                    rung, left, occ, jring=jring)
                 self.n_retry_steps += 1
                 flags2, ev_rows2 = self._unpack_pull(
                     np.asarray(small2), full2)

@@ -330,8 +330,8 @@ def chain_dp_batch_pallas(ax_hi, ax_lo, aq, aspan, n_anchors, limbs,
     values to the scan version's carry; chunked and monolithic calls
     compose identically (differentially tested).
     """
-    assert J in (64, 128) and J % 32 == 0, \
-        "mark words and _iscan support J = 64 and the 128 escalation rung"
+    assert J in (64, 128, 256) and J % 32 == 0, \
+        "mark words and _iscan support J = 64 and the 128/256 escalation rungs"
     f, p, v, *rest = _chain_dp_pallas_t(
         ax_hi.T, ax_lo.T, aq.T, aspan.T,
         n_anchors.reshape(1, -1), limbs, row_bad, carry_t,

@@ -67,9 +67,19 @@ def main():
             "rows_per_s_per_shard": round(per_shard, 3),
             "efficiency_vs_1dev": round(per_shard / base_per_shard, 3),
         }
+    ncpu = os.cpu_count() or 1
     print(json.dumps({"mode": "weak-scaling, virtual CPU mesh, "
                               "interpret-mode kernels",
                       "lanes_per_shard": lanes_per_shard,
+                      "physical_cores": ncpu,
+                      "efficiency_note":
+                          "all %d virtual devices share %d physical "
+                          "cores, so weak-scaling efficiency beyond "
+                          "n=%d is bounded by ~%d/n (core "
+                          "saturation), not by the SPMD program — "
+                          "the measured curve tracks that bound; "
+                          "only a real pod measures ICI scaling"
+                          % (8, ncpu, ncpu, ncpu),
                       "devices": table}))
 
 
