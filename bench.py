@@ -8,9 +8,11 @@ the same input (compiled from the read-only reference checkout; rows
 also cross-checked for bit-identity).
 
 Scales (VERDICT r3 item 2 — publish a scale curve, amortize fixed
-costs):
+costs; VERDICT r4 item 2 — a 100+ Mbp point on the device index):
   base   1,500 targets / 250 queries / 0.4 Mb genome  (r3 continuity)
   large  10,000 targets / 1,000 queries / 20 Mb genome
+  xl     70,000 targets (~115 Mbp) / 1,000 queries — rides the
+         hash-range-sharded device index end-to-end
 The headline metric/vs_baseline is the LARGE point; per-scale details
 land under RESULT["scales"].
 

@@ -170,3 +170,39 @@ def test_sampleqc_transcript_mode(tmp_path):
     assert "mu_coverage" in cov and "sigma_coverage" in cov
     assert "Mean_coverage" not in cov
     assert cov["sigma_coverage"] > 0
+
+
+def test_sampleqc_fast5_dir_end_to_end(tmp_path):
+    """sampleqc over a synthetic multi-read FAST5 directory (h5py
+    fixture) — the fast5 ingestion path had no e2e coverage
+    (lq_utils.py:211-236, longQC.py:302-303)."""
+    h5py = pytest.importorskip("h5py")
+    import json
+    from util_synth import make_genome, sample_reads
+
+    rng = np.random.RandomState(17)
+    reads = sample_reads(rng, make_genome(rng, 9000), 48, min_len=600,
+                         max_len=1500, err=0.1, junk_frac=0.1)
+    f5dir = tmp_path / "f5"
+    f5dir.mkdir()
+    per_file = 16
+    for fi in range(0, len(reads), per_file):
+        with h5py.File(str(f5dir / ("batch%02d.fast5" % fi)), "w") as f:
+            for name, seq, qual in reads[fi:fi + per_file]:
+                g = f.create_group(
+                    "read_%s/Analyses/Basecall_1D_000/"
+                    "BaseCalled_template" % name)
+                fq = "@%s ch=1\n%s\n+\n%s\n" % (name, seq, qual)
+                g.create_dataset("Fastq", data=fq.encode("ascii"))
+    out = tmp_path / "out"
+    from longqc_tpu.cli import main as cli_main
+    rc = cli_main(["sampleqc", "-x", "ont-ligation", "-n", "30",
+                   "-o", str(out), str(f5dir)])
+    assert rc == 0
+    qc = json.load(open(next(out.glob("QC_vals_*.json"))))
+    assert qc["Yield"] == sum(len(r[1]) for r in reads)
+    assert qc["Num_of_reads"] == len(reads)
+    cov = (out / "analysis" / "minimap2" /
+           "coverage_out.txt").read_text().strip().splitlines()
+    assert len(cov) == 30 and len(cov[0].split("\t")) == 9
+    assert (out / "web_summary.html").exists()
