@@ -261,8 +261,8 @@ def _pack_group_slots(qpos, qstrand, qcnt, n_slots):
     return qps, n_exp
 
 
-@jax.jit
-def _count_expanded(ih, qh, qcnt, n_slots, mid_occ):
+@functools.partial(jax.jit, static_argnames=("mcrop",))
+def _count_expanded(ih, qh, qcnt, n_slots, mid_occ, *, mcrop=None):
     """Per-row expanded-anchor count n_q — the quantity F_ANCH guards —
     with no A-dimension work: sum over kept minimizer slots of
     (duplicate multiplicity x index occurrence count). Dispatched ahead
@@ -286,17 +286,35 @@ def _count_expanded(ih, qh, qcnt, n_slots, mid_occ):
     >= n_q (rungs top out at 65536 << 2^23), so a clamped row always
     picks the right rung or forces the host path; an underestimate
     from per-slot saturation at most sends a pathological row through
-    the F_ANCH safety net to the exact host fallback."""
+    the F_ANCH safety net to the exact host fallback.
+
+    mcrop (static): search only the first mcrop slots. The search is
+    gather-issue-bound (measured ~3.4 ms per 1M-probe sweep on the
+    attached chip, flat in n_coarse), so its cost is linear in slot
+    count — and real slots are typically ~40% of M (minimizer density
+    2/(w+1)). The caller picks the smallest rung in {M/4, M/2, M}
+    >= the group's max n_slots (known exactly from the staging pull),
+    so cropping never drops a real slot; left/occ pad back to (Q, M)
+    with zeros, which the step treats identically to padding slots
+    (qcnt == 0 there contributes no anchors)."""
     Q, M = qh.shape
-    slot_on = jnp.arange(M, dtype=jnp.int32)[None, :] < n_slots[:, None]
+    mc = M if mcrop is None else min(mcrop, M)
+    qh_c = qh[:, :mc]
+    qcnt_c = qcnt[:, :mc]
+    slot_on = jnp.arange(mc, dtype=jnp.int32)[None, :] < n_slots[:, None]
     # padding slots search the constant 0 (uniform gather addresses —
     # the refine sweeps coalesce) — their left/occ are never consumed
-    qs = jnp.where(slot_on, qh, 0)
+    qs = jnp.where(slot_on, qh_c, 0)
     # right(q) == left(q+1) for integer keys (hashes < 2^2k < sentinel)
     lr = _ss_left_2level(ih, jnp.concatenate([qs, qs + 1], axis=1))
-    left = lr[:, :M]
-    occ = lr[:, M:] - left
-    return _count_tail(occ, qcnt, slot_on, mid_occ) + (left, occ)
+    left = lr[:, :mc]
+    occ = lr[:, mc:] - left
+    out = _count_tail(occ, qcnt_c, slot_on, mid_occ)
+    if mc < M:
+        pad = ((0, 0), (0, M - mc))
+        left = jnp.pad(left, pad)
+        occ = jnp.pad(occ, pad)
+    return out + (left, occ)
 
 
 def _count_tail(occ, qcnt, slot_on, mid_occ):
@@ -315,25 +333,35 @@ def _count_tail(occ, qcnt, slot_on, mid_occ):
     return (n_q,)
 
 
-@functools.partial(jax.jit, static_argnames=("kb",))
+@functools.partial(jax.jit, static_argnames=("kb", "mcrop"))
 def _count_expanded_sharded(ih_stack, bnd_ck, qh, qcnt, n_slots,
-                            mid_occ, *, kb):
+                            mid_occ, *, kb, mcrop=None):
     """_count_expanded over the hash-range shard stack: queries route
     by their top hash bits and search the virtual ck order; left comes
     back as a FLAT stack position (the step's anchor gathers decompose
-    it as (flat >> lgNs, flat & (Ns-1)))."""
+    it as (flat >> lgNs, flat & (Ns-1))). mcrop as in _count_expanded
+    (the i64 virtual-key sweeps are ~2x the 1-shard cost, so the crop
+    matters even more here)."""
     S, Ns = ih_stack.shape
     lgS = S.bit_length() - 1
     Q, M = qh.shape
-    slot_on = jnp.arange(M, dtype=jnp.int32)[None, :] < n_slots[:, None]
-    qs = jnp.where(slot_on, qh, 0).astype(jnp.int64)
+    mc = M if mcrop is None else min(mcrop, M)
+    qh_c = qh[:, :mc]
+    qcnt_c = qcnt[:, :mc]
+    slot_on = jnp.arange(mc, dtype=jnp.int32)[None, :] < n_slots[:, None]
+    qs = jnp.where(slot_on, qh_c, 0).astype(jnp.int64)
     sq = jnp.right_shift(qs, kb - lgS)
     qck = (sq << kb) + qs
     lr = _ss_ck(ih_stack, bnd_ck,
                 jnp.concatenate([qck, qck + 1], axis=1), kb=kb)
-    left = lr[:, :M]
-    occ = lr[:, M:] - left
-    return _count_tail(occ, qcnt, slot_on, mid_occ) + (left, occ)
+    left = lr[:, :mc]
+    occ = lr[:, mc:] - left
+    out = _count_tail(occ, qcnt_c, slot_on, mid_occ)
+    if mc < M:
+        pad = ((0, 0), (0, M - mc))
+        left = jnp.pad(left, pad)
+        occ = jnp.pad(occ, pad)
+    return out + (left, occ)
 
 
 # ---------------------------------------------------------------------------
@@ -955,11 +983,17 @@ def _group_valid(n_slots, n_exp, *, M, M2, n_real):
     """Device-side row validity: rows whose sketch compaction or
     expansion overflowed are invalid (host-processed); padding lanes
     are invalid. Avoids any host pull during engine construction (the
-    tunneled backend starves pulls behind in-flight compiles)."""
+    tunneled backend starves pulls behind in-flight compiles).
+
+    Also returns the max slot count over valid rows (ns_max): the
+    count pass's search-width rung selector (_run_part picks the
+    smallest crop in {M/4, M/2, M} >= ns_max; invalid rows never ride
+    the device path, so their slot counts don't constrain the crop)."""
     lane = jnp.arange(n_slots.shape[0], dtype=jnp.int32)
     ovf = (n_slots > M) | (n_exp > M2)
     valid = (~ovf) & (lane < n_real)
-    return valid.astype(jnp.int32), (ovf & (lane < n_real))
+    ns_max = jnp.max(jnp.where(valid, n_slots, 0)).astype(jnp.int32)
+    return valid.astype(jnp.int32), (ovf & (lane < n_real)), ns_max
 
 
 @functools.partial(jax.jit, static_argnames=("M",))
@@ -1078,11 +1112,12 @@ def precompile_lowered(cfg, blens, lanes=GROUP_Q, b_pads=None,
     # --- query group programs
     for blen in blens:
         M, M2 = blen // 2, blen
-        out.append(("count(%d)" % blen,
-                    _count_expanded.lower(
-                        sds((n_idx,), hdt), sds((lanes, M), hdt),
-                        sds((lanes, M)),
-                        sds((lanes,)), sds((), i32))))
+        for mc in (None, M // 2, M // 4):
+            out.append(("count(%d,mc=%s)" % (blen, mc),
+                        _count_expanded.lower(
+                            sds((n_idx,), hdt), sds((lanes, M), hdt),
+                            sds((lanes, M)),
+                            sds((lanes,)), sds((), i32), mcrop=mc)))
         out.append(("sketch(%d)" % blen,
                     sketch_batch.lower(sds((lanes, blen), jnp.uint8),
                                        sds((lanes,)), w=w, k=k)))
@@ -1231,11 +1266,13 @@ class _Group:
                      + [0] * (lanes - len(qids)), np.int32))
         # validity computed on device — engine construction performs NO
         # host pull (the tunnel starves pulls behind in-flight compiles)
-        self.qvalid, self._ovf_dev = _group_valid(
+        self.qvalid, self._ovf_dev, self._ns_max_dev = _group_valid(
             self.n_slots, self.n_exp, M=self.M, M2=self.M2,
             n_real=len(qids))
         _async_pull(self._ovf_dev)
+        _async_pull(self._ns_max_dev)
         self._perm_host = None
+        self._ns_max = None
         # state
         self.lam = jnp.zeros((lanes,), jnp.int64)
         self.lam2 = jnp.zeros((lanes,), jnp.int64)
@@ -1253,6 +1290,22 @@ class _Group:
         if self._perm_host is None:
             self._perm_host = np.asarray(self._ovf_dev)
         return self._perm_host
+
+    @property
+    def ns_max(self):
+        """Max slot count over this group's valid rows (host int; the
+        staging pull is async, so realization is usually instant)."""
+        if self._ns_max is None:
+            self._ns_max = int(np.asarray(self._ns_max_dev))
+        return self._ns_max
+
+    def count_crop(self):
+        """Search-width rung for the count pass: smallest of
+        {M/4, M/2, M} that holds every valid row's slots."""
+        for mc in (self.M // 4, self.M // 2):
+            if mc >= 1 and self.ns_max <= mc:
+                return mc
+        return self.M
 
     def host_sketch_lists(self, k, w, reads):
         """Per-lane (hash, pos, strand, span) expanded lists for the
@@ -1738,10 +1791,11 @@ class DeviceOverlapEngine:
             if pidx.n_shards > 1:
                 cnt, left, occ = _count_expanded_sharded(
                     pidx.ih, pidx.bnd_ck, g.qh, g.qcnt, g.n_slots,
-                    pidx.mid_occ, kb=pidx.kb)
+                    pidx.mid_occ, kb=pidx.kb, mcrop=g.count_crop())
             else:
                 cnt, left, occ = _count_expanded(
-                    pidx.ih, g.qh, g.qcnt, g.n_slots, pidx.mid_occ)
+                    pidx.ih, g.qh, g.qcnt, g.n_slots, pidx.mid_occ,
+                    mcrop=g.count_crop())
             counts.append([g, jnp.asarray(qrank), jnp.asarray(qbisect),
                            cnt, left, occ])
         for c in counts:

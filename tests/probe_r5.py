@@ -51,7 +51,7 @@ def main():
     t0 = time.time()
     eng = do.DeviceOverlapEngine(cfg, queries)
     for g in eng.groups:
-        jax.block_until_ready(g.e_src)
+        jax.block_until_ready(g.qps)
     print("%-28s %8.1f ms  (%d groups)" % (
         "engine init (groups)", (time.time() - t0) * 1e3,
         len(eng.groups)), flush=True)
@@ -106,7 +106,7 @@ def main():
             mc = jnp.zeros((eng.lanes, g.M2), jnp.int32)
             return do._step(
                 pidx.irid, pidx.ips, pidx.seq_lens, pidx.rid_rank,
-                pidx.mid_occ, left, occ, g.qpos, g.qstrand, g.e_src,
+                pidx.mid_occ, left, occ, g.qps, g.qcnt, g.n_slots,
                 g.n_exp, g.qlen, qrank_d, qbis_d, g.qvalid,
                 lam, lam2, avgk, mc, eng.limbs5, st=st)
         t("step (1 group, A=%d)" % A, step, n=3)
