@@ -280,12 +280,15 @@ def live_path_util(reads, queries, cfg, n_rep=3):
                           "model": "two canonical sorts + elementwise"}
         eng = do.DeviceOverlapEngine(cfg, queries)
         g = eng.groups[0]
+        mcrop = g.count_crop()
         dt_cnt = t(lambda: do._count_expanded(
-            pidx.ih, g.qh, g.qcnt, g.n_slots, pidx.mid_occ))
-        nq_searches = 2 * g.qh.shape[0] * g.qh.shape[1]
+            pidx.ih, g.qh, g.qcnt, g.n_slots, pidx.mid_occ,
+            mcrop=mcrop))
+        nq_searches = 2 * g.qh.shape[0] * mcrop
         sweeps = 1 + int(np.ceil(np.log2(n_idx // 8192 + 1)))
         out["count_seed_search"] = {
             "ms": round(dt_cnt * 1e3, 1), "queries": int(nq_searches),
+            "mcrop": int(mcrop), "M": int(g.qh.shape[1]),
             "gather_elems_per_s": round(
                 nq_searches * sweeps / dt_cnt / 1e6, 0) * 1e6,
             "model": "2-level search: 1 VPU compare-sum + %d "
